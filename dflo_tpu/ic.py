@@ -1,0 +1,158 @@
+"""Analytic initial conditions + interpolation/projection onto the DG space.
+
+Re-implements the reference's IC layer (src/ic.{h,cc}): the three analytic IC
+classes as vectorized jnp-compatible closures over coordinate arrays, plus the
+basis-dependent IC setter — nodal interpolation for Qk
+(set_initial_condition_Qk, src/ic.cc:104-121) and quadrature L2-projection
+for Pk / non-collocated bases (set_initial_condition_Pk, src/ic.cc:128-168).
+Expression-defined ICs from .prm files plug in through the same callable
+interface (dflo_tpu.config.expressions).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from dflo_tpu.ops import basis as basis_mod
+from dflo_tpu.ops import quadrature
+from dflo_tpu.physics.euler import GAMMA
+
+
+def isentropic_vortex(beta: float = 5.0, x0: float = 0.0, y0: float = 0.0):
+    """IsentropicVortex(beta, x0, y0) of src/ic.h:28-53 / src/ic.cc:44-61.
+
+    A stationary vortex (no advection): the exact solution at any time equals
+    the IC — the convergence-study oracle (examples/isentropic_vortex)."""
+    a1 = 0.5 * beta / np.pi
+    a2 = (GAMMA - 1.0) * a1 * a1 / 2.0
+
+    def fn(x, y, t=0.0):
+        r2 = (x - x0) ** 2 + (y - y0) ** 2
+        rho = (1.0 - a2 * jnp.exp(1.0 - r2)) ** (1.0 / (GAMMA - 1.0))
+        vex = -a1 * (y - y0) * jnp.exp(0.5 * (1.0 - r2))
+        vey = a1 * (x - x0) * jnp.exp(0.5 * (1.0 - r2))
+        pre = rho ** GAMMA
+        return jnp.stack([rho * vex, rho * vey, rho,
+                          pre / (GAMMA - 1.0) + 0.5 * rho * (vex**2 + vey**2)])
+
+    return fn
+
+
+def isentropic_vortex_steady(beta: float = 5.0, x0: float = 0.0, y0: float = 0.0):
+    """Exactly-steady isentropic vortex (Shu's scaling, a2 = (g-1)a1^2/(2g)).
+
+    The reference's IC (src/ic.h:43-44) omits the 1/gamma factor in a2, so its
+    vortex is not an exact Euler solution; this variant restores it and is the
+    convergence-order oracle used by the test suite (SURVEY.md §4c)."""
+    a1 = 0.5 * beta / np.pi
+    a2 = (GAMMA - 1.0) * a1 * a1 / (2.0 * GAMMA)
+
+    def fn(x, y, t=0.0):
+        r2 = (x - x0) ** 2 + (y - y0) ** 2
+        T = 1.0 - a2 * jnp.exp(1.0 - r2)
+        rho = T ** (1.0 / (GAMMA - 1.0))
+        vex = -a1 * (y - y0) * jnp.exp(0.5 * (1.0 - r2))
+        vey = a1 * (x - x0) * jnp.exp(0.5 * (1.0 - r2))
+        pre = rho * T
+        return jnp.stack([rho * vex, rho * vey, rho,
+                          pre / (GAMMA - 1.0) + 0.5 * rho * (vex**2 + vey**2)])
+
+    return fn
+
+
+def rayleigh_taylor(gravity: float, Lx: float = 0.5, Ly: float = 1.5,
+                    A: float = 0.01, P0: float = 2.5):
+    """RayleighTaylor IC (src/ic.h:10-27, src/ic.cc:12-38)."""
+
+    def fn(x, y, t=0.0):
+        rho = jnp.where(y < 0.0, 1.0, 2.0)
+        vel = A * (1.0 + jnp.cos(2.0 * jnp.pi * x / Lx)) / 2.0 \
+            * (1.0 + jnp.cos(2.0 * jnp.pi * y / Ly)) / 2.0
+        pre = P0 - gravity * rho * y
+        return jnp.stack([jnp.zeros_like(rho), rho * vel, rho,
+                          pre / (GAMMA - 1.0) + 0.5 * rho * vel * vel])
+
+    return fn
+
+
+def vortex_system():
+    """Three-vortex system (src/ic.h:55-84, src/ic.cc:67-100)."""
+    beta, Rc = 5.0, 4.0
+    a1 = 0.5 * beta / np.pi
+    a2 = (GAMMA - 1.0) * a1 * a1 / 2.0
+    xs = [0.0, Rc * np.cos(np.pi / 6.0), -Rc * np.cos(np.pi / 6.0)]
+    ys = [-Rc, Rc * np.sin(np.pi / 6.0), Rc * np.sin(np.pi / 6.0)]
+
+    def fn(x, y, t=0.0):
+        rho = jnp.zeros_like(x)
+        vex = jnp.zeros_like(x)
+        vey = jnp.zeros_like(x)
+        for xi, yi in zip(xs, ys):
+            r2 = (x - xi) ** 2 + (y - yi) ** 2
+            rho = rho + (1.0 - a2 * jnp.exp(1.0 - r2)) ** (1.0 / (GAMMA - 1.0))
+            vex = vex - a1 * (y - yi) * jnp.exp(0.5 * (1.0 - r2))
+            vey = vey + a1 * (x - xi) * jnp.exp(0.5 * (1.0 - r2))
+        rho = rho - 2.0
+        vex = vex / 3.0
+        vey = vey / 3.0
+        pre = rho ** GAMMA
+        # high-pressure patch near the origin (src/ic.cc:90)
+        pre = jnp.where((jnp.abs(x) < 0.1) & (jnp.abs(y) < 0.1), 50.0, pre)
+        return jnp.stack([rho * vex, rho * vey, rho,
+                          pre / (GAMMA - 1.0) + 0.5 * rho * (vex**2 + vey**2)])
+
+    return fn
+
+
+IC_FUNCTIONS = {
+    "isenvort": lambda params=None: isentropic_vortex(5.0, 0.0, 0.0),
+    "vortsys": lambda params=None: vortex_system(),
+    "rt": lambda params=None: rayleigh_taylor(
+        getattr(params, "gravity", 1.0) if params is not None else 1.0),
+}
+
+
+def set_initial_condition(basis: basis_mod.Basis, mesh, fn, t: float = 0.0,
+                          dtype=None) -> jnp.ndarray:
+    """Project an analytic state fn(x, y, t) -> [4, ...] onto u[4, K, ny, nx].
+
+    Qk/Qk_gll: nodal interpolation (src/ic.cc:104-121).
+    Pk: L2 projection with QGauss(p+1), i.e. coef = M^-1 int f phi
+    (src/ic.cc:128-168).
+    """
+    dtype = dtype or jnp.zeros(0).dtype
+    if basis.family in ("Qk", "Qk_gll"):
+        xn, yn = mesh.point_coords(basis.nodes)
+        u = fn(jnp.asarray(xn, dtype), jnp.asarray(yn, dtype), t)
+    else:
+        xq, wq = quadrature.gauss(basis.degree + 1)
+        QX, QY = np.meshgrid(xq, xq, indexing="xy")
+        pts = np.stack([QX.ravel(), QY.ravel()], axis=1)
+        w2 = np.outer(wq, wq).ravel()
+        Vq = basis.eval_at(pts)                       # [Q, K]
+        xqq, yqq = mesh.point_coords(pts)
+        f = fn(jnp.asarray(xqq, dtype), jnp.asarray(yqq, dtype), t)  # [4,Q,ny,nx]
+        proj = jnp.asarray(w2[:, None] * Vq, dtype)   # cell Jacobian cancels M^-1
+        u = jnp.einsum("qk,cqyx->ckyx", proj, f) \
+            * jnp.asarray(1.0 / basis.mass, dtype)[None, :, None, None]
+    return jnp.asarray(u, dtype)
+
+
+def l2_error(basis: basis_mod.Basis, mesh, u, exact_fn, t: float = 0.0,
+             nq: int | None = None) -> jnp.ndarray:
+    """Per-component L2 error vs an analytic state, normalized by domain area
+    (compute_errors, src_gll/claw.cc:1190-1246).  Returns [4]."""
+    nq = nq or (basis.degree + 2)
+    xq, wq = quadrature.gauss(nq)
+    QX, QY = np.meshgrid(xq, xq, indexing="xy")
+    pts = np.stack([QX.ravel(), QY.ravel()], axis=1)
+    w2 = jnp.asarray(np.outer(wq, wq).ravel(), u.dtype)
+    Vq = jnp.asarray(basis.eval_at(pts), u.dtype)
+    xqq, yqq = mesh.point_coords(pts)
+    uh = jnp.einsum("qk,ckyx->cqyx", Vq, u)
+    ue = exact_fn(jnp.asarray(xqq, u.dtype), jnp.asarray(yqq, u.dtype), t)
+    cell_area = mesh.dx * mesh.dy
+    err2 = jnp.einsum("q,cqyx->c", w2, (uh - ue) ** 2) * cell_area
+    domain_area = (mesh.x1 - mesh.x0) * (mesh.y1 - mesh.y0)
+    return jnp.sqrt(err2 / domain_area)

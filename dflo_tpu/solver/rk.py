@@ -1,0 +1,61 @@
+"""SSP Runge-Kutta time integration + CFL time-step control.
+
+Mirrors the reference's explicit iterate loop (src/claw.cc:725-772): the
+Shu-Osher convex-blend stages with degree-dependent coefficients
+(src/claw.cc:141-159) and the cartesian CFL formula
+(compute_time_step_cartesian, src/claw.cc:483-512).  The stage loop is
+unrolled Python (n_rk <= 3, static), so the whole step jits to one fused XLA
+computation; a `post_stage` hook applies the stabilization chain after every
+stage exactly where the reference calls cell-average/indicator/limiter/
+positivity (src/claw.cc:762-766).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from dflo_tpu.physics import euler
+
+
+def rk_coeffs(scheme: str) -> tuple[tuple[float, ...], tuple[float, ...]]:
+    """(ark, stage_times): Shu-Osher blend weights (src/claw.cc:141-159) and
+    the stage time fractions used for time-dependent BC data."""
+    if scheme == "rk1":
+        return (0.0,), (0.0,)
+    if scheme == "rk2":
+        return (0.0, 0.5), (0.0, 1.0)
+    if scheme == "rk3":
+        return (0.0, 0.75, 1.0 / 3.0), (0.0, 1.0, 0.5)
+    raise ValueError(f"unknown RK scheme {scheme!r}")
+
+
+def default_scheme(degree: int) -> str:
+    """Reference picks the RK order from the FE degree (src/claw.cc:141-159)."""
+    return ("rk1", "rk2", "rk3")[min(degree, 2)]
+
+
+def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
+                post_stage: Callable | None = None):
+    """One SSP-RK step: u(t) -> u(t + dt)."""
+    u_old = u
+    for a, c in zip(ark, stage_times):
+        u = u + dt * rhs(u, t + c * dt)
+        u = a * u_old + (1.0 - a) * u
+        if post_stage is not None:
+            u = post_stage(u)
+    return u
+
+
+def compute_dt(ubar, mesh, degree: int, cfl: float):
+    """Global CFL time step from cell averages ubar[4, ny, nx]
+    (compute_time_step_cartesian, src/claw.cc:483-512):
+    dt_c = cfl / sum_d (c + |v_d|)/h / (2p+1), h = diameter/sqrt(dim)."""
+    h = mesh.diameter_h
+    c = euler.sound_speed(ubar)
+    vx = jnp.abs(ubar[euler.MX] / ubar[euler.RHO])
+    vy = jnp.abs(ubar[euler.MY] / ubar[euler.RHO])
+    max_eig = (c + vx) / h + (c + vy) / h
+    dt_cells = cfl / max_eig / (2.0 * degree + 1.0)
+    return jnp.min(dt_cells)

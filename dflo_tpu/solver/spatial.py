@@ -1,0 +1,214 @@
+"""DG spatial residual as fused tensor contractions.
+
+TPU-first re-design of the reference's explicit assembly
+(src/assemble_explicit.cc:29-452).  The reference runs a MeshWorker loop with
+three per-cell/per-face integrand callbacks; here the same three integrals are
+whole-domain tensor contractions over the state array ``u[4, K, ny, nx]``
+(component, local DoF, cell row, cell column):
+
+- volume term  : einsum of the weighted reference-gradient operators with the
+  physical flux at all quadrature points of all cells at once
+  (replaces integrate_cell_term_explicit, src/assemble_explicit.cc:29-120)
+- interior faces: static-slice the per-cell face traces into left/right
+  interface states, evaluate the Riemann flux once per interface, and lift to
+  both neighbors (replaces integrate_face_term_explicit,
+  src/assemble_explicit.cc:255-427); the scatter-add of the reference becomes
+  two shifted dense adds
+- boundary faces: ghost states via compute_wminus + the same numerical flux
+  (replaces integrate_boundary_term_explicit, src/assemble_explicit.cc:126-248)
+
+Everything is shape-static and branch-free, so the whole residual jits into
+one fused XLA computation; under pjit the (ny, nx) axes shard over the device
+mesh and the interface slices become halo exchanges over ICI.
+
+The returned function computes du/dt = M^{-1} R(u, t) directly (the diagonal
+mass solve of src/claw.cc:694-713 is folded in).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from dflo_tpu.ops import basis as basis_mod
+from dflo_tpu.ops.basis import WEST, EAST, SOUTH, NORTH
+from dflo_tpu.physics import euler
+from dflo_tpu.physics.fluxes import get_flux
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class BoundarySide:
+    """BC for one side of a Cartesian domain.
+
+    kind   : euler.BC_* code (src/equation.h:862-869).
+    values : callable (x, y, t) -> [4, ...] boundary expression values in the
+             conserved layout (pressure BC reads p from the energy slot,
+             src/equation.h:992); None for kinds that need no data.
+    """
+
+    kind: int
+    values: Callable | None = None
+
+
+FREE = BoundarySide(euler.BC_PERIODIC, None)
+
+
+def _lift(faceVw_f: Array, F: Array) -> Array:
+    """Face-quadrature lift: [nq,K] x [4,nq,...] -> [4,K,...]."""
+    return jnp.einsum("qk,cq...->ck...", faceVw_f, F)
+
+
+def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
+             flux: str = "lxf", source: Callable | None = None,
+             dtype=None):
+    """Build du/dt = rhs(u, t) for a Cartesian mesh.
+
+    bcs    : {'W','E','S','N'} -> BoundarySide.  Periodic sides must come in
+             opposite pairs (W+E or S+N), mirroring the pair/direction checks
+             of src_mpi/parameters.cc:524-558.
+    source : optional (x, y, t, W) -> [4, Q, ny, nx] body-force term evaluated
+             at the volume quadrature points (src/equation.h:829-850 gravity /
+             src_mpi/equation.h:1186-1202 external force).
+    """
+    dtype = dtype or jnp.zeros(0).dtype
+    num_flux = get_flux(flux)
+
+    per_x = bcs["W"].kind == euler.BC_PERIODIC
+    per_y = bcs["S"].kind == euler.BC_PERIODIC
+    if per_x != (bcs["E"].kind == euler.BC_PERIODIC):
+        raise ValueError("periodic BC must pair W with E")
+    if per_y != (bcs["N"].kind == euler.BC_PERIODIC):
+        raise ValueError("periodic BC must pair S with N")
+
+    dx, dy = mesh.dx, mesh.dy
+    area = dx * dy
+
+    # reference-cell operators as device constants
+    cast = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    V = cast(basis.V)
+    Vw = cast(basis.wq2[:, None] * basis.V)
+    GxW = cast(basis.wq2[:, None] * basis.Gx)
+    GyW = cast(basis.wq2[:, None] * basis.Gy)
+    faceV = [cast(basis.faceV[f]) for f in range(4)]
+    faceVw = [cast(basis.wq[:, None] * basis.faceV[f]) for f in range(4)]
+    avg_op = cast(basis.wq2 @ basis.V)
+    minv = cast(1.0 / basis.mass)
+    collocated = basis.is_nodal_collocated and basis.nq == basis.degree + 1
+
+    # boundary face quadrature coordinates (for BC expressions)
+    face_xy = {}
+    for name, side in (("W", WEST), ("E", EAST), ("S", SOUTH), ("N", NORTH)):
+        xb, yb = mesh.face_coords(side, basis.xq)
+        face_xy[name] = (cast(xb), cast(yb))
+
+    # volume quadrature coordinates (only materialized when a source needs them)
+    if source is not None:
+        QX, QY = np.meshgrid(basis.xq, basis.xq, indexing="xy")
+        ref_pts = np.stack([QX.ravel(), QY.ravel()], axis=1)
+        xq2, yq2 = mesh.point_coords(ref_pts)
+        xq2, yq2 = cast(xq2), cast(yq2)
+
+    # outward normals per side
+    NORMALS = {"W": (-1.0, 0.0), "E": (1.0, 0.0), "S": (0.0, -1.0), "N": (0.0, 1.0)}
+
+    def boundary_flux(name: str, trace: Array, ubar_b: Array, t) -> Array:
+        """Outward numerical flux on one domain side.
+
+        trace  : [4, nq, n_along] inside trace
+        ubar_b : [4, n_along] boundary-cell averages
+        Returns [4, nq, n_along] flux w.r.t. the OUTWARD normal
+        (reference orientation, src/assemble_explicit.cc:195-205).
+        """
+        side = bcs[name]
+        nx_, ny_ = NORMALS[name]
+        if side.values is not None:
+            xb, yb = face_xy[name]
+            bvals = jnp.broadcast_to(jnp.asarray(side.values(xb, yb, t), dtype),
+                                     trace.shape)
+        else:
+            bvals = trace
+        ghost = euler.compute_wminus(side.kind, nx_, ny_, trace, bvals)
+        A = jnp.broadcast_to(ubar_b[:, None, :], trace.shape)
+        return num_flux(trace, ghost, nx_, ny_, AL=A, AR=A)
+
+    def rhs(u: Array, t) -> Array:
+        """du/dt for u[4, K, ny, nx] at time t."""
+        # ---- states at volume quadrature points --------------------------
+        W = u if collocated else jnp.einsum("qk,ckyx->cqyx", V, u)
+        Fx = euler.flux_x(W)
+        Fy = euler.flux_y(W)
+
+        # ---- volume term: + int F . grad(phi) dV -------------------------
+        R = dy * jnp.einsum("qk,cqyx->ckyx", GxW, Fx) \
+            + dx * jnp.einsum("qk,cqyx->ckyx", GyW, Fy)
+
+        # ---- source term -------------------------------------------------
+        if source is not None:
+            S = source(xq2, yq2, t, W)
+            R = R + area * jnp.einsum("qk,cqyx->ckyx", Vw, S)
+
+        # ---- cell averages (LF/KEP dissipation states, src/claw.h:338) ---
+        ub = jnp.einsum("k,ckyx->cyx", avg_op, u)
+
+        # ---- face traces -------------------------------------------------
+        uW = jnp.einsum("qk,ckyx->cqyx", faceV[WEST], u)
+        uE = jnp.einsum("qk,ckyx->cqyx", faceV[EAST], u)
+        uS = jnp.einsum("qk,ckyx->cqyx", faceV[SOUTH], u)
+        uN = jnp.einsum("qk,ckyx->cqyx", faceV[NORTH], u)
+
+        # ---- x-direction interfaces (normal +x), nx+1 slots ---------------
+        FL, FR = uE[..., :-1], uW[..., 1:]
+        AL = jnp.broadcast_to(ub[:, None, :, :-1], FL.shape)
+        AR = jnp.broadcast_to(ub[:, None, :, 1:], FR.shape)
+        Fi = num_flux(FL, FR, 1.0, 0.0, AL=AL, AR=AR)
+        if per_x:
+            Aw = jnp.broadcast_to(ub[:, None, :, -1], uE[..., -1].shape)
+            Ae = jnp.broadcast_to(ub[:, None, :, 0], uW[..., 0].shape)
+            Fwrap = num_flux(uE[..., -1], uW[..., 0], 1.0, 0.0, AL=Aw, AR=Ae)
+            Fx_all = jnp.concatenate(
+                [Fwrap[..., None], Fi, Fwrap[..., None]], axis=-1)
+        else:
+            # boundary fluxes are computed with the outward normal and
+            # sign-flipped into the +x interface orientation (conservative
+            # fluxes satisfy F(a,b,n) = -F(b,a,-n))
+            Fw = -boundary_flux("W", uW[..., 0], ub[..., 0], t)
+            Fe = boundary_flux("E", uE[..., -1], ub[..., -1], t)
+            Fx_all = jnp.concatenate([Fw[..., None], Fi, Fe[..., None]], axis=-1)
+        R = R - dy * _lift(faceVw[EAST], Fx_all[..., 1:])
+        R = R + dy * _lift(faceVw[WEST], Fx_all[..., :-1])
+
+        # ---- y-direction interfaces (normal +y), ny+1 slots ---------------
+        FL, FR = uN[..., :-1, :], uS[..., 1:, :]
+        AL = jnp.broadcast_to(ub[:, None, :-1, :], FL.shape)
+        AR = jnp.broadcast_to(ub[:, None, 1:, :], FR.shape)
+        Fj = num_flux(FL, FR, 0.0, 1.0, AL=AL, AR=AR)
+        if per_y:
+            As = jnp.broadcast_to(ub[:, None, -1, :], uN[..., -1, :].shape)
+            An = jnp.broadcast_to(ub[:, None, 0, :], uS[..., 0, :].shape)
+            Fwrap = num_flux(uN[..., -1, :], uS[..., 0, :], 0.0, 1.0, AL=As, AR=An)
+            Fy_all = jnp.concatenate(
+                [Fwrap[..., None, :], Fj, Fwrap[..., None, :]], axis=-2)
+        else:
+            Fs = -boundary_flux("S", uS[..., 0, :], ub[..., 0, :], t)
+            Fn = boundary_flux("N", uN[..., -1, :], ub[..., -1, :], t)
+            Fy_all = jnp.concatenate(
+                [Fs[..., None, :], Fj, Fn[..., None, :]], axis=-2)
+        R = R - dx * _lift(faceVw[NORTH], Fy_all[..., 1:, :])
+        R = R + dx * _lift(faceVw[SOUTH], Fy_all[..., :-1, :])
+
+        # ---- diagonal mass solve (src/claw.cc:694-713) --------------------
+        return R * (minv[None, :, None, None] / area)
+
+    return rhs
+
+
+def cell_averages(basis: basis_mod.Basis, u: Array) -> Array:
+    """Mean conserved state per cell: [4, K, ny, nx] -> [4, ny, nx]
+    (src/claw.cc:562-597)."""
+    avg_op = jnp.asarray(basis.wq2 @ basis.V, u.dtype)
+    return jnp.einsum("k,ckyx->cyx", avg_op, u)
