@@ -1,0 +1,118 @@
+"""Explicit solver driver: the ConservationLaw run loop, TPU-style.
+
+Replaces the reference's ConservationLaw<dim> orchestration (src/claw.h:57-365,
+src/claw.cc:725-772, 953-1130) for the explicit path: one jit-compiled step
+fuses {residual, SSP-RK stages, cell averages, shock indicator, TVB limiter,
+positivity limiter, dt} — the per-stage stabilization chain runs exactly where
+the reference calls it (src/claw.cc:762-766).  The Python host loop only
+checks termination and output cadence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from dflo_tpu.ops import basis as basis_mod
+from dflo_tpu.physics import euler
+from dflo_tpu.solver import rk as rk_mod
+from dflo_tpu.solver.spatial import BoundarySide, make_rhs
+from dflo_tpu.stab.indicator import make_shock_indicator
+from dflo_tpu.stab.limiter import make_tvb_limiter
+from dflo_tpu.stab.positivity import make_positivity_limiter, negative_average_flag
+
+
+@dataclasses.dataclass(frozen=True)
+class LimiterConfig:
+    """Mirrors Parameters::Limiter (src/parameters.h:241-256)."""
+    type: str = "none"               # none | TVB
+    shock_indicator: str = "limiter"  # limiter | density | energy
+    M: float = 0.0
+    beta: float = 1.0
+    char_lim: bool = False
+    pos_lim: bool = False
+    conserve_angular_momentum: bool = False
+
+
+class Solver:
+    """Explicit DG solver on a Cartesian mesh."""
+
+    def __init__(self, basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
+                 flux: str = "lxf", limiter: LimiterConfig | None = None,
+                 source: Callable | None = None, scheme: str | None = None,
+                 cfl: float = 0.9, dtype=None):
+        self.basis = basis
+        self.mesh = mesh
+        self.bcs = bcs
+        self.cfl = cfl
+        self.limiter_cfg = limiter or LimiterConfig()
+        dtype = dtype or jnp.zeros(0).dtype
+        self.dtype = dtype
+
+        per_x = bcs["W"].kind == euler.BC_PERIODIC
+        per_y = bcs["S"].kind == euler.BC_PERIODIC
+        self.rhs = make_rhs(basis, mesh, bcs, flux=flux, source=source,
+                            dtype=dtype)
+        self.avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
+
+        cfg = self.limiter_cfg
+        self._indicator = make_shock_indicator(
+            basis, mesh, cfg.shock_indicator, per_x, per_y, dtype)
+        self._limit = (make_tvb_limiter(
+            basis, mesh, M=cfg.M, beta=cfg.beta, char_lim=cfg.char_lim,
+            conserve_angular_momentum=cfg.conserve_angular_momentum,
+            per_x=per_x, per_y=per_y, dtype=dtype)
+            if cfg.type == "TVB" else None)
+        self._positivity = (make_positivity_limiter(basis, mesh, dtype)
+                            if cfg.pos_lim else None)
+
+        self.ark, self.stage_times = rk_mod.rk_coeffs(
+            scheme or rk_mod.default_scheme(basis.degree))
+        self._step = jax.jit(self._make_step())
+
+    # ------------------------------------------------------------------
+    def cell_averages(self, u):
+        return jnp.einsum("k,ckyx->cyx", self.avg_op, u)
+
+    def post_stage(self, u):
+        """Stabilization chain after each RK stage (src/claw.cc:762-766)."""
+        if self._limit is None and self._positivity is None:
+            return u
+        ubar = self.cell_averages(u)
+        if self._limit is not None:
+            shock, _ = self._indicator(u, ubar)
+            u = self._limit(u, ubar, shock)
+        if self._positivity is not None:
+            u = self._positivity(u, ubar)
+        return u
+
+    def _make_step(self):
+        def step(u, t, t_end):
+            ubar = self.cell_averages(u)
+            dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree, self.cfl)
+            dt = jnp.minimum(dt, t_end - t)
+            u = rk_mod.ssp_rk_step(self.rhs, u, t, dt, self.ark,
+                                   self.stage_times, post_stage=self.post_stage)
+            bad = negative_average_flag(self.cell_averages(u))
+            return u, dt, bad
+        return step
+
+    # ------------------------------------------------------------------
+    def run(self, u, t_end: float, t0: float = 0.0,
+            callback: Callable | None = None, max_steps: int = 10**7):
+        """Advance u from t0 to t_end; callback(u, t, it) at every step."""
+        t, it = t0, 0
+        while t < t_end - 1e-12 and it < max_steps:
+            u, dt, bad = self._step(u, t, t_end)
+            if bool(bad):
+                raise FloatingPointError(
+                    f"negative density/pressure cell average at t={t!r} "
+                    f"(src/positivity.cc:26-39 fatal condition)")
+            t += float(dt)
+            it += 1
+            if callback is not None:
+                callback(u, t, it)
+        return u, t, it
