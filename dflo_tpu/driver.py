@@ -43,11 +43,12 @@ class Solver:
     def __init__(self, basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                  flux: str = "lxf", limiter: LimiterConfig | None = None,
                  source: Callable | None = None, scheme: str | None = None,
-                 cfl: float = 0.9, dtype=None):
+                 cfl: float = 0.9, device_mesh=None, dtype=None):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
         self.cfl = cfl
+        self.device_mesh = device_mesh
         self.limiter_cfg = limiter or LimiterConfig()
         dtype = dtype or jnp.zeros(0).dtype
         self.dtype = dtype
@@ -75,7 +76,8 @@ class Solver:
 
     # ------------------------------------------------------------------
     def cell_averages(self, u):
-        return jnp.einsum("k,ckyx->cyx", self.avg_op, u)
+        from dflo_tpu.ops.contract import basis_reduce
+        return basis_reduce(self.avg_op, u)
 
     def post_stage(self, u):
         """Stabilization chain after each RK stage (src/claw.cc:762-766)."""
@@ -89,8 +91,20 @@ class Solver:
             u = self._positivity(u, ubar)
         return u
 
+    def shard(self, u):
+        """Place the state on the device mesh (domain decomposition,
+        dflo_tpu.parallel; replaces p4est partitioning src_mpi/claw.cc:59-76)."""
+        if self.device_mesh is None:
+            return u
+        from dflo_tpu.parallel.sharding import shard_state
+        return shard_state(u, self.device_mesh)
+
     def _make_step(self):
         def step(u, t, t_end):
+            if self.device_mesh is not None:
+                from dflo_tpu.parallel.sharding import cell_sharding
+                u = jax.lax.with_sharding_constraint(
+                    u, cell_sharding(self.device_mesh))
             ubar = self.cell_averages(u)
             dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree, self.cfl)
             dt = jnp.minimum(dt, t_end - t)

@@ -16,6 +16,7 @@ import numpy as np
 
 from dflo_tpu.ops import basis as basis_mod
 from dflo_tpu.ops import quadrature
+from dflo_tpu.ops.contract import basis_apply
 from dflo_tpu.physics.euler import GAMMA
 
 
@@ -134,7 +135,7 @@ def set_initial_condition(basis: basis_mod.Basis, mesh, fn, t: float = 0.0,
         xqq, yqq = mesh.point_coords(pts)
         f = fn(jnp.asarray(xqq, dtype), jnp.asarray(yqq, dtype), t)  # [4,Q,ny,nx]
         proj = jnp.asarray(w2[:, None] * Vq, dtype)   # cell Jacobian cancels M^-1
-        u = jnp.einsum("qk,cqyx->ckyx", proj, f) \
+        u = basis_apply(proj.T, f) \
             * jnp.asarray(1.0 / basis.mass, dtype)[None, :, None, None]
     return jnp.asarray(u, dtype)
 
@@ -150,9 +151,9 @@ def l2_error(basis: basis_mod.Basis, mesh, u, exact_fn, t: float = 0.0,
     w2 = jnp.asarray(np.outer(wq, wq).ravel(), u.dtype)
     Vq = jnp.asarray(basis.eval_at(pts), u.dtype)
     xqq, yqq = mesh.point_coords(pts)
-    uh = jnp.einsum("qk,ckyx->cqyx", Vq, u)
+    uh = basis_apply(Vq, u)
     ue = exact_fn(jnp.asarray(xqq, u.dtype), jnp.asarray(yqq, u.dtype), t)
     cell_area = mesh.dx * mesh.dy
-    err2 = jnp.einsum("q,cqyx->c", w2, (uh - ue) ** 2) * cell_area
+    err2 = jnp.sum(w2[None, :, None, None] * (uh - ue) ** 2, axis=(1, 2, 3)) * cell_area
     domain_area = (mesh.x1 - mesh.x0) * (mesh.y1 - mesh.y0)
     return jnp.sqrt(err2 / domain_area)

@@ -1,0 +1,59 @@
+"""Domain decomposition over a TPU device mesh.
+
+TPU-native replacement for the reference's entire MPI/p4est distribution layer
+(src_mpi tree, SURVEY.md §2.2/§5.8): the p4est cell partition with a ghost
+layer (src_mpi/claw.cc:59-76, 331-340) becomes a 2-D ``jax.sharding.Mesh``
+over the (cell-row, cell-column) axes of the state array
+``u[4, K, ny, nx]``:
+
+- ghost refresh (`update_ghost_values`, src_mpi/claw.cc:793): the interior
+  face slices and `jnp.roll` shifts in the residual/limiter compile to XLA
+  collective-permutes of one face-trace slab over ICI — O(boundary) bytes,
+  exactly the halo pattern;
+- scatter-add `compress` (src_mpi/assemble_explicit.cc:580): avoided by
+  design — each interface flux is computed once and applied to both sides
+  with dense shifted adds, so no reverse communication exists;
+- global reductions (`MPI::min` dt, src_mpi/claw.cc:579): `jnp.min/sum`
+  lower to psum/pmin collectives under GSPMD.
+
+Because the solver is written as whole-domain array ops, single-chip and
+multi-chip runs are the SAME program: distribution is applied by placing the
+state on a NamedSharding and letting GSPMD partition the jitted step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def device_mesh(shape: tuple[int, int] | None = None,
+                devices=None) -> Mesh:
+    """Build a 2-D ('dy', 'dx') device mesh for domain decomposition.
+
+    shape defaults to the most-square factorization of the device count
+    (mirroring p4est's balanced partition goal)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        a = int(np.sqrt(n))
+        while n % a:
+            a -= 1
+        shape = (a, n // a)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, ("dy", "dx"))
+
+
+def cell_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of u[4, K, ny, nx]: cells split over the device mesh,
+    components/DoFs replicated (the owner-computes layout of §5.8)."""
+    return NamedSharding(mesh, P(None, None, "dy", "dx"))
+
+
+def shard_state(u, mesh: Mesh):
+    """Place a state array onto the device mesh."""
+    return jax.device_put(u, cell_sharding(mesh))

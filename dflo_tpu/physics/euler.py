@@ -142,12 +142,12 @@ def _reorder_to_conserved(V):
 def to_characteristic(L, W):
     """W_char = L @ reorder(W); L is [4, 4, ...], W is [4, ...]."""
     V = _reorder_to_internal(W)
-    return jnp.einsum("ij...,j...->i...", L, V)
+    return jnp.sum(L * V[None, :], axis=1)
 
 
 def to_conserved(R, Wc):
     """Inverse transform (src/equation.h:290-306)."""
-    V = jnp.einsum("ij...,j...->i...", R, Wc)
+    V = jnp.sum(R * Wc[None, :], axis=1)
     return _reorder_to_conserved(V)
 
 

@@ -37,14 +37,37 @@ def default_scheme(degree: int) -> str:
 
 
 def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
-                post_stage: Callable | None = None):
-    """One SSP-RK step: u(t) -> u(t + dt)."""
+                post_stage: Callable | None = None, unroll: bool = False):
+    """One SSP-RK step: u(t) -> u(t + dt).
+
+    The stage loop is a lax.scan over the (blend, stage-time) coefficient
+    pairs so the stage body (residual + stabilization chain) is traced and
+    compiled ONCE instead of n_rk times — ~3x smaller HLO for RK3, which
+    matters on TPU where compile cost scales with program size.  `unroll=True`
+    recovers the flat form (identical results; the scan carries no
+    cross-stage reassociation)."""
+    import jax
+
     u_old = u
-    for a, c in zip(ark, stage_times):
-        u = u + dt * rhs(u, t + c * dt)
-        u = a * u_old + (1.0 - a) * u
+    if unroll or len(ark) == 1:
+        for a, c in zip(ark, stage_times):
+            u = u + dt * rhs(u, t + c * dt)
+            u = a * u_old + (1.0 - a) * u
+            if post_stage is not None:
+                u = post_stage(u)
+        return u
+
+    coeffs = jnp.asarray([ark, stage_times], dtype=u.dtype).T  # [n_rk, 2]
+
+    def body(u, ac):
+        a, c = ac[0], ac[1]
+        v = u + dt * rhs(u, t + c * dt)
+        v = a * u_old + (1.0 - a) * v
         if post_stage is not None:
-            u = post_stage(u)
+            v = post_stage(v)
+        return v, None
+
+    u, _ = jax.lax.scan(body, u, coeffs)
     return u
 
 

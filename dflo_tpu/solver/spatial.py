@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dflo_tpu.ops import basis as basis_mod
+from dflo_tpu.ops.contract import basis_apply, basis_reduce
 from dflo_tpu.ops.basis import WEST, EAST, SOUTH, NORTH
 from dflo_tpu.physics import euler
 from dflo_tpu.physics.fluxes import get_flux
@@ -60,7 +61,7 @@ FREE = BoundarySide(euler.BC_PERIODIC, None)
 
 def _lift(faceVw_f: Array, F: Array) -> Array:
     """Face-quadrature lift: [nq,K] x [4,nq,...] -> [4,K,...]."""
-    return jnp.einsum("qk,cq...->ck...", faceVw_f, F)
+    return basis_apply(faceVw_f.T, F)
 
 
 def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
@@ -139,27 +140,26 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     def rhs(u: Array, t) -> Array:
         """du/dt for u[4, K, ny, nx] at time t."""
         # ---- states at volume quadrature points --------------------------
-        W = u if collocated else jnp.einsum("qk,ckyx->cqyx", V, u)
+        W = u if collocated else basis_apply(V, u)
         Fx = euler.flux_x(W)
         Fy = euler.flux_y(W)
 
         # ---- volume term: + int F . grad(phi) dV -------------------------
-        R = dy * jnp.einsum("qk,cqyx->ckyx", GxW, Fx) \
-            + dx * jnp.einsum("qk,cqyx->ckyx", GyW, Fy)
+        R = dy * basis_apply(GxW.T, Fx) + dx * basis_apply(GyW.T, Fy)
 
         # ---- source term -------------------------------------------------
         if source is not None:
             S = source(xq2, yq2, t, W)
-            R = R + area * jnp.einsum("qk,cqyx->ckyx", Vw, S)
+            R = R + area * basis_apply(Vw.T, S)
 
         # ---- cell averages (LF/KEP dissipation states, src/claw.h:338) ---
-        ub = jnp.einsum("k,ckyx->cyx", avg_op, u)
+        ub = basis_reduce(avg_op, u)
 
         # ---- face traces -------------------------------------------------
-        uW = jnp.einsum("qk,ckyx->cqyx", faceV[WEST], u)
-        uE = jnp.einsum("qk,ckyx->cqyx", faceV[EAST], u)
-        uS = jnp.einsum("qk,ckyx->cqyx", faceV[SOUTH], u)
-        uN = jnp.einsum("qk,ckyx->cqyx", faceV[NORTH], u)
+        uW = basis_apply(faceV[WEST], u)
+        uE = basis_apply(faceV[EAST], u)
+        uS = basis_apply(faceV[SOUTH], u)
+        uN = basis_apply(faceV[NORTH], u)
 
         # ---- x-direction interfaces (normal +x), nx+1 slots ---------------
         FL, FR = uE[..., :-1], uW[..., 1:]
@@ -211,4 +211,4 @@ def cell_averages(basis: basis_mod.Basis, u: Array) -> Array:
     """Mean conserved state per cell: [4, K, ny, nx] -> [4, ny, nx]
     (src/claw.cc:562-597)."""
     avg_op = jnp.asarray(basis.wq2 @ basis.V, u.dtype)
-    return jnp.einsum("k,ckyx->cyx", avg_op, u)
+    return basis_reduce(avg_op, u)

@@ -15,8 +15,10 @@ A cell is "marked" (limiter active) when indicator > 1
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from dflo_tpu.ops import basis as basis_mod
+from dflo_tpu.ops.contract import basis_apply1, quad_reduce1
 from dflo_tpu.ops.basis import WEST, EAST, SOUTH, NORTH
 from dflo_tpu.physics import euler
 
@@ -40,17 +42,17 @@ def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
     faceV = [jnp.asarray(basis.faceV[f], dtype) for f in range(4)]
     wq = jnp.asarray(basis.wq, dtype)
     dx, dy = mesh.dx, mesh.dy
-    diam = float(jnp.sqrt(dx * dx + dy * dy))
+    diam = float(np.sqrt(dx * dx + dy * dy))  # host-side setup constant
     h = mesh.diameter_h
     p = basis.degree
 
     def indicator(u, ubar):
         v = u[comp]                                   # [K, ny, nx]
         # traces of the indicator variable on each face: [nq, ny, nx]
-        tW = jnp.einsum("qk,kyx->qyx", faceV[WEST], v)
-        tE = jnp.einsum("qk,kyx->qyx", faceV[EAST], v)
-        tS = jnp.einsum("qk,kyx->qyx", faceV[SOUTH], v)
-        tN = jnp.einsum("qk,kyx->qyx", faceV[NORTH], v)
+        tW = basis_apply1(faceV[WEST], v)
+        tE = basis_apply1(faceV[EAST], v)
+        tS = basis_apply1(faceV[SOUTH], v)
+        tN = basis_apply1(faceV[NORTH], v)
 
         # neighbor traces across each face (quad points coincide on a
         # conforming Cartesian mesh); zero jump at non-periodic boundaries
@@ -81,7 +83,7 @@ def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
         inN = (vy < 0).astype(u.dtype)
 
         def fint(j):                                  # sum_q j wq (x ds later)
-            return jnp.einsum("q,qyx->yx", wq, j)
+            return quad_reduce1(wq, j)
 
         ind = (inW * fint(jW) + inE * fint(jE)) * dy \
             + (inS * fint(jS) + inN * fint(jN)) * dx

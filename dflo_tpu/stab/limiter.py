@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dflo_tpu.ops import basis as basis_mod
+from dflo_tpu.ops.contract import basis_reduce
 from dflo_tpu.physics import euler
 
 
@@ -93,8 +94,8 @@ def make_tvb_limiter(basis: basis_mod.Basis, mesh, M: float = 0.0,
             Dy = sqrt3 * u[:, ix_y]
         else:
             # h * mean physical gradient (src/limiter.cc:269-281)
-            Dx = (h / mesh.dx) * jnp.einsum("k,ckyx->cyx", gx_op, u)
-            Dy = (h / mesh.dy) * jnp.einsum("k,ckyx->cyx", gy_op, u)
+            Dx = (h / mesh.dx) * basis_reduce(gx_op, u)
+            Dy = (h / mesh.dy) * basis_reduce(gy_op, u)
 
         ang_mom = Dx[euler.MY] - Dy[euler.MX]           # src/limiter.cc:422
 

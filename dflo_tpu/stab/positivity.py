@@ -17,6 +17,7 @@ import numpy as np
 
 from dflo_tpu.ops import basis as basis_mod
 from dflo_tpu.ops import quadrature
+from dflo_tpu.ops.contract import basis_apply
 from dflo_tpu.physics import euler
 
 EPS = 1.0e-13  # src/positivity.cc:27
@@ -60,7 +61,7 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
 
     def limit(u, ubar):
         # ---- density pass (src/positivity.cc:68-111) ----------------------
-        W = jnp.einsum("qk,ckyx->cqyx", P, u)          # [4, Qp, ny, nx]
+        W = basis_apply(P, u)                          # [4, Qp, ny, nx]
         rho_min = jnp.min(W[euler.RHO], axis=0)        # [ny, nx]
         rho_avg = ubar[euler.RHO]
         rat = jnp.abs(rho_avg - EPS) / (jnp.abs(rho_avg - rho_min) + 1.0e-13)
@@ -68,7 +69,7 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
         u = scale_about_avg(u, ubar, theta1, comps=(euler.RHO,))
 
         # ---- pressure pass (src/positivity.cc:113-182) --------------------
-        W = jnp.einsum("qk,ckyx->cqyx", P, u)
+        W = basis_apply(P, u)
         pre = euler.pressure(W)
         d = W - ubar[:, None]                          # deviations from avg
         drho, dE = d[euler.RHO], d[euler.ENE]
