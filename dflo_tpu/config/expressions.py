@@ -30,12 +30,14 @@ _FUNCS: dict[str, Callable] = {
     "pow": jnp.power, "min": jnp.minimum, "max": jnp.maximum,
     "floor": jnp.floor, "ceil": jnp.ceil, "sign": jnp.sign,
     "erf": None,  # filled below (jax.scipy)
-    "if": lambda c, a, b: jnp.where(c, a, b),
+    "where": lambda c, a, b: jnp.where(c, a, b),  # muparser's if(c,a,b)
 }
 from jax.scipy.special import erf as _erf  # noqa: E402
 _FUNCS["erf"] = _erf
 
-_CONSTS = {"pi": np.pi, "Pi": np.pi, "PI": np.pi, "e": np.e, "E": np.e}
+_CONSTS = {"pi": np.pi, "Pi": np.pi, "PI": np.pi, "e": np.e, "E": np.e,
+           # deal.II FunctionParser spellings (examples/gravity/.../input_cart.prm)
+           "_pi": np.pi, "_e": np.e}
 
 _ALLOWED_BINOPS = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Pow, ast.Mod)
 _ALLOWED_UNARY = (ast.UAdd, ast.USub)
@@ -75,9 +77,11 @@ class _Validator(ast.NodeVisitor):
 
 
 def _translate(expr: str) -> str:
-    """muparser -> python: '^' is power; 'if' is a plain function call
-    (valid python call syntax already); '&&'/'||' -> and/or."""
+    """muparser -> python: '^' is power; 'if(c,a,b)' renamed (keyword clash);
+    '&&'/'||' -> and/or."""
+    import re
     out = expr.replace("^", "**").replace("&&", " and ").replace("||", " or ")
+    out = re.sub(r"\bif\s*\(", "where(", out)
     return out
 
 

@@ -147,6 +147,8 @@ class AllParameters:
     final_time: float = 1.0e20
     theta: float = 1.0
     max_nonlin_iter: int = 1
+    min_residual: float = 0.0   # steady-state stop criterion
+                                # (examples/naca0012/m063.prm 'min residual')
     # ICs
     ic_function: str = "none"
     initial_conditions: Callable | None = None
@@ -195,6 +197,7 @@ class AllParameters:
         p.final_time = float(take(ts, "final time", "1.0e20"))
         p.theta = float(take(ts, "theta scheme value", "1.0"))
         p.max_nonlin_iter = int(take(ts, "nonlinear iterations", "1"))
+        p.min_residual = float(take(ts, "min residual", "0.0"))
         if ts:
             raise ValueError(f"unknown 'time stepping' keys: {sorted(ts)}")
         if p.is_stationary:

@@ -43,7 +43,8 @@ class Solver:
     def __init__(self, basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                  flux: str = "lxf", limiter: LimiterConfig | None = None,
                  source: Callable | None = None, scheme: str | None = None,
-                 cfl: float = 0.9, device_mesh=None, dtype=None):
+                 cfl: float = 0.9, device_mesh=None, mask=None,
+                 solid_state=(0.0, 0.0, 1.0, 2.5), dtype=None):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -53,19 +54,23 @@ class Solver:
         dtype = dtype or jnp.zeros(0).dtype
         self.dtype = dtype
 
-        per_x = bcs["W"].kind == euler.BC_PERIODIC
-        per_y = bcs["S"].kind == euler.BC_PERIODIC
+        self.mask = mask
+        if mask is not None:
+            self._fmask = jnp.asarray(mask, bool)
+            self._u_solid = jnp.asarray(solid_state, dtype)[:, None, None, None]
+        per_x = getattr(bcs["W"], "kind", None) == euler.BC_PERIODIC
+        per_y = getattr(bcs["S"], "kind", None) == euler.BC_PERIODIC
         self.rhs = make_rhs(basis, mesh, bcs, flux=flux, source=source,
-                            dtype=dtype)
+                            mask=mask, dtype=dtype)
         self.avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
 
         cfg = self.limiter_cfg
         self._indicator = make_shock_indicator(
-            basis, mesh, cfg.shock_indicator, per_x, per_y, dtype)
+            basis, mesh, cfg.shock_indicator, per_x, per_y, dtype, mask=mask)
         self._limit = (make_tvb_limiter(
             basis, mesh, M=cfg.M, beta=cfg.beta, char_lim=cfg.char_lim,
             conserve_angular_momentum=cfg.conserve_angular_momentum,
-            per_x=per_x, per_y=per_y, dtype=dtype)
+            per_x=per_x, per_y=per_y, dtype=dtype, mask=mask)
             if cfg.type == "TVB" else None)
         self._positivity = (make_positivity_limiter(basis, mesh, dtype)
                             if cfg.pos_lim else None)
@@ -79,8 +84,15 @@ class Solver:
         from dflo_tpu.ops.contract import basis_reduce
         return basis_reduce(self.avg_op, u)
 
+    def apply_mask(self, u):
+        """Freeze solid-masked cells at the benign reference state."""
+        if self.mask is None:
+            return u
+        return jnp.where(self._fmask[None, None], u, self._u_solid)
+
     def post_stage(self, u):
         """Stabilization chain after each RK stage (src/claw.cc:762-766)."""
+        u = self.apply_mask(u)
         if self._limit is None and self._positivity is None:
             return u
         ubar = self.cell_averages(u)
@@ -106,11 +118,13 @@ class Solver:
                 u = jax.lax.with_sharding_constraint(
                     u, cell_sharding(self.device_mesh))
             ubar = self.cell_averages(u)
-            dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree, self.cfl)
+            fm = self._fmask if self.mask is not None else None
+            dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree,
+                                   self.cfl, mask=fm)
             dt = jnp.minimum(dt, t_end - t)
             u = rk_mod.ssp_rk_step(self.rhs, u, t, dt, self.ark,
                                    self.stage_times, post_stage=self.post_stage)
-            bad = negative_average_flag(self.cell_averages(u))
+            bad = negative_average_flag(self.cell_averages(u), mask=fm)
             return u, dt, bad
         return step
 

@@ -71,14 +71,28 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
     return u
 
 
-def compute_dt(ubar, mesh, degree: int, cfl: float):
+def compute_dt(ubar, mesh, degree: int, cfl: float, mask=None):
     """Global CFL time step from cell averages ubar[4, ny, nx]
     (compute_time_step_cartesian, src/claw.cc:483-512):
-    dt_c = cfl / sum_d (c + |v_d|)/h / (2p+1), h = diameter/sqrt(dim)."""
+    dt_c = cfl / sum_d (c + |v_d|)/h / (2p+1), h = diameter/sqrt(dim).
+    Solid-masked cells are excluded from the min."""
     h = mesh.diameter_h
     c = euler.sound_speed(ubar)
     vx = jnp.abs(ubar[euler.MX] / ubar[euler.RHO])
     vy = jnp.abs(ubar[euler.MY] / ubar[euler.RHO])
     max_eig = (c + vx) / h + (c + vy) / h
     dt_cells = cfl / max_eig / (2.0 * degree + 1.0)
+    if mask is not None:
+        dt_cells = jnp.where(mask, dt_cells, jnp.inf)
     return jnp.min(dt_cells)
+
+
+def local_dt(ubar, mesh, degree: int, cfl: float):
+    """Per-cell dt field for local (steady pseudo-transient) stepping
+    (time step type = local, src/claw.cc:444-481)."""
+    h = mesh.diameter_h
+    c = euler.sound_speed(ubar)
+    vx = jnp.abs(ubar[euler.MX] / ubar[euler.RHO])
+    vy = jnp.abs(ubar[euler.MY] / ubar[euler.RHO])
+    max_eig = (c + vx) / h + (c + vy) / h
+    return cfl / max_eig / (2.0 * degree + 1.0)

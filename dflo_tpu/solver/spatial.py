@@ -56,6 +56,31 @@ class BoundarySide:
     values: Callable | None = None
 
 
+@dataclasses.dataclass(frozen=True)
+class SegmentedSide:
+    """One domain side split into boundary-id segments along its length —
+    e.g. double_mach_reflection's bottom: post-shock Dirichlet for x < 1/6,
+    slip wall after (examples/double_mach_reflection/grid.geo Physical Lines
+    0/1).  `seg_id[i]` picks segments[seg_id[i]] for cell column/row i."""
+
+    seg_id: np.ndarray
+    segments: tuple
+
+    @property
+    def kind(self) -> int:
+        # a segmented side is periodic only if its single segment is
+        return (self.segments[0].kind
+                if len(self.segments) == 1 else -999)
+
+
+def _as_segmented(side, n_along: int) -> SegmentedSide:
+    if isinstance(side, SegmentedSide):
+        if len(side.seg_id) != n_along:
+            raise ValueError("seg_id length must equal the side's cell count")
+        return side
+    return SegmentedSide(np.zeros(n_along, np.int32), (side,))
+
+
 FREE = BoundarySide(euler.BC_PERIODIC, None)
 
 
@@ -64,27 +89,56 @@ def _lift(faceVw_f: Array, F: Array) -> Array:
     return basis_apply(faceVw_f.T, F)
 
 
+def _mirror_x(U):
+    """Slip-wall ghost for an x-normal face: reflect normal momentum."""
+    return jnp.stack([-U[euler.MX], U[euler.MY], U[euler.RHO], U[euler.ENE]])
+
+
+def _mirror_y(U):
+    return jnp.stack([U[euler.MX], -U[euler.MY], U[euler.RHO], U[euler.ENE]])
+
+
 def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
              flux: str = "lxf", source: Callable | None = None,
-             dtype=None):
+             mask: np.ndarray | None = None, dtype=None):
     """Build du/dt = rhs(u, t) for a Cartesian mesh.
 
-    bcs    : {'W','E','S','N'} -> BoundarySide.  Periodic sides must come in
-             opposite pairs (W+E or S+N), mirroring the pair/direction checks
-             of src_mpi/parameters.cc:524-558.
+    bcs    : {'W','E','S','N'} -> BoundarySide | SegmentedSide.  Periodic
+             sides must come in opposite pairs (W+E or S+N), mirroring the
+             pair/direction checks of src_mpi/parameters.cc:524-558.
     source : optional (x, y, t, W) -> [4, Q, ny, nx] body-force term evaluated
              at the volume quadrature points (src/equation.h:829-850 gravity /
              src_mpi/equation.h:1186-1202 external force).
+    mask   : optional bool [ny, nx], True = fluid cell.  Solid cells model
+             axis-aligned obstacles (forward_step's step) inside the dense
+             block: fluid-solid interfaces get slip-wall mirror fluxes and
+             solid cells receive zero residual — the TPU-native form of the
+             reference's multiblock step.geo domain.
     """
     dtype = dtype or jnp.zeros(0).dtype
     num_flux = get_flux(flux)
 
+    bcs = {"W": _as_segmented(bcs["W"], mesh.ny),
+           "E": _as_segmented(bcs["E"], mesh.ny),
+           "S": _as_segmented(bcs["S"], mesh.nx),
+           "N": _as_segmented(bcs["N"], mesh.nx)}
     per_x = bcs["W"].kind == euler.BC_PERIODIC
     per_y = bcs["S"].kind == euler.BC_PERIODIC
     if per_x != (bcs["E"].kind == euler.BC_PERIODIC):
         raise ValueError("periodic BC must pair W with E")
     if per_y != (bcs["N"].kind == euler.BC_PERIODIC):
         raise ValueError("periodic BC must pair S with N")
+
+    if mask is not None:
+        mask = np.asarray(mask, bool)
+        if mask.shape != (mesh.ny, mesh.nx):
+            raise ValueError(f"mask shape {mask.shape} != (ny, nx)")
+        fmask = jnp.asarray(mask, dtype)                 # fluid mask
+        # interior-interface wall flags (True where a mirror flux is needed)
+        wallx_L = jnp.asarray(~mask[:, :-1] & mask[:, 1:])   # solid|fluid
+        wallx_R = jnp.asarray(mask[:, :-1] & ~mask[:, 1:])   # fluid|solid
+        wally_L = jnp.asarray(~mask[:-1, :] & mask[1:, :])
+        wally_R = jnp.asarray(mask[:-1, :] & ~mask[1:, :])
 
     dx, dy = mesh.dx, mesh.dy
     area = dx * dy
@@ -124,16 +178,22 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         ubar_b : [4, n_along] boundary-cell averages
         Returns [4, nq, n_along] flux w.r.t. the OUTWARD normal
         (reference orientation, src/assemble_explicit.cc:195-205).
-        """
-        side = bcs[name]
+        Segmented sides evaluate each segment's ghost state and select by
+        the per-column boundary id."""
+        sseg = bcs[name]
         nx_, ny_ = NORMALS[name]
-        if side.values is not None:
-            xb, yb = face_xy[name]
-            bvals = jnp.broadcast_to(jnp.asarray(side.values(xb, yb, t), dtype),
-                                     trace.shape)
-        else:
-            bvals = trace
-        ghost = euler.compute_wminus(side.kind, nx_, ny_, trace, bvals)
+        xb, yb = face_xy[name]
+        ghost = None
+        seg_id = jnp.asarray(sseg.seg_id)
+        for si, seg in enumerate(sseg.segments):
+            if seg.values is not None:
+                bvals = jnp.broadcast_to(
+                    jnp.asarray(seg.values(xb, yb, t), dtype), trace.shape)
+            else:
+                bvals = trace
+            g = euler.compute_wminus(seg.kind, nx_, ny_, trace, bvals)
+            ghost = g if ghost is None else jnp.where(
+                seg_id[None, None, :] == si, g, ghost)
         A = jnp.broadcast_to(ubar_b[:, None, :], trace.shape)
         return num_flux(trace, ghost, nx_, ny_, AL=A, AR=A)
 
@@ -165,6 +225,15 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         FL, FR = uE[..., :-1], uW[..., 1:]
         AL = jnp.broadcast_to(ub[:, None, :, :-1], FL.shape)
         AR = jnp.broadcast_to(ub[:, None, :, 1:], FR.shape)
+        if mask is not None:
+            # slip-wall mirror states at fluid-solid interfaces
+            w = wallx_L[None, None]
+            FL, AL = (jnp.where(w, _mirror_x(FR), FL),
+                      jnp.where(w, _mirror_x(AR), AL))
+            w = wallx_R[None, None]
+            FR, AR = (jnp.where(w, _mirror_x(uE[..., :-1]), FR),
+                      jnp.where(w, _mirror_x(
+                          jnp.broadcast_to(ub[:, None, :, :-1], FL.shape)), AR))
         Fi = num_flux(FL, FR, 1.0, 0.0, AL=AL, AR=AR)
         if per_x:
             Aw = jnp.broadcast_to(ub[:, None, :, -1], uE[..., -1].shape)
@@ -186,6 +255,14 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         FL, FR = uN[..., :-1, :], uS[..., 1:, :]
         AL = jnp.broadcast_to(ub[:, None, :-1, :], FL.shape)
         AR = jnp.broadcast_to(ub[:, None, 1:, :], FR.shape)
+        if mask is not None:
+            w = wally_L[None, None]
+            FL, AL = (jnp.where(w, _mirror_y(FR), FL),
+                      jnp.where(w, _mirror_y(AR), AL))
+            w = wally_R[None, None]
+            FR, AR = (jnp.where(w, _mirror_y(uN[..., :-1, :]), FR),
+                      jnp.where(w, _mirror_y(
+                          jnp.broadcast_to(ub[:, None, :-1, :], FL.shape)), AR))
         Fj = num_flux(FL, FR, 0.0, 1.0, AL=AL, AR=AR)
         if per_y:
             As = jnp.broadcast_to(ub[:, None, -1, :], uN[..., -1, :].shape)
@@ -202,7 +279,10 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         R = R + dx * _lift(faceVw[SOUTH], Fy_all[..., :-1, :])
 
         # ---- diagonal mass solve (src/claw.cc:694-713) --------------------
-        return R * (minv[None, :, None, None] / area)
+        R = R * (minv[None, :, None, None] / area)
+        if mask is not None:
+            R = R * fmask[None, None]       # solid cells are frozen
+        return R
 
     return rhs
 

@@ -25,10 +25,12 @@ from dflo_tpu.physics import euler
 
 def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
                          per_x: bool = False, per_y: bool = False,
-                         dtype=None):
+                         dtype=None, mask: np.ndarray | None = None):
     """Build indicator(u, ubar) -> (shock_ind[ny,nx], jump_ind[ny,nx]).
 
     kind : 'limiter' (mark all), 'density', 'energy'
+    mask : optional bool [ny, nx] fluid mask; faces whose neighbor is solid
+           count like boundary faces (skipped, src/indicator.cc:174-179).
     """
     dtype = dtype or jnp.zeros(0).dtype
     if kind == "limiter":
@@ -46,6 +48,28 @@ def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
     h = mesh.diameter_h
     p = basis.degree
 
+    # interior-fluid-neighbor flags per face direction (boundary and solid
+    # faces are skipped entirely, like the reference's at_boundary guard)
+    m = np.ones((mesh.ny, mesh.nx), bool) if mask is None else np.asarray(mask, bool)
+
+    def shifted(axis, shift, periodic):
+        s = np.roll(m, shift, axis=axis)
+        if not periodic:
+            if axis == 1 and shift == 1:
+                s[:, 0] = False
+            elif axis == 1:
+                s[:, -1] = False
+            elif shift == 1:
+                s[0, :] = False
+            else:
+                s[-1, :] = False
+        return s
+
+    vW = jnp.asarray(shifted(1, 1, per_x), dtype)   # has fluid west neighbor
+    vE = jnp.asarray(shifted(1, -1, per_x), dtype)
+    vS = jnp.asarray(shifted(0, 1, per_y), dtype)
+    vN = jnp.asarray(shifted(0, -1, per_y), dtype)
+
     def indicator(u, ubar):
         v = u[comp]                                   # [K, ny, nx]
         # traces of the indicator variable on each face: [nq, ny, nx]
@@ -54,33 +78,20 @@ def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
         tS = basis_apply1(faceV[SOUTH], v)
         tN = basis_apply1(faceV[NORTH], v)
 
-        # neighbor traces across each face (quad points coincide on a
-        # conforming Cartesian mesh); zero jump at non-periodic boundaries
-        # (src/indicator.cc:174-179)
-        def nbr(trace_nbr, axis, shift, periodic):
-            roll = jnp.roll(trace_nbr, shift, axis=axis)
-            if periodic:
-                return roll
-            # replace the wrapped slab with the cell's own trace -> zero jump
-            return roll
-        jW = tW - nbr(tE, 2, 1, per_x)
-        jE = tE - nbr(tW, 2, -1, per_x)
-        jS = tS - nbr(tN, 1, 1, per_y)
-        jN = tN - nbr(tS, 1, -1, per_y)
-        if not per_x:
-            jW = jW.at[:, :, 0].set(0.0)
-            jE = jE.at[:, :, -1].set(0.0)
-        if not per_y:
-            jS = jS.at[:, 0, :].set(0.0)
-            jN = jN.at[:, -1, :].set(0.0)
+        # neighbor traces across each face (quadrature points coincide on a
+        # conforming Cartesian mesh); skipped faces get zero jump
+        jW = (tW - jnp.roll(tE, 1, axis=2)) * vW
+        jE = (tE - jnp.roll(tW, -1, axis=2)) * vE
+        jS = (tS - jnp.roll(tN, 1, axis=1)) * vS
+        jN = (tN - jnp.roll(tS, -1, axis=1)) * vN
 
         # inflow flags per face from cell-average velocity (vel . n < 0)
         vx = ubar[euler.MX] / ubar[euler.RHO]
         vy = ubar[euler.MY] / ubar[euler.RHO]
-        inW = (-vx < 0).astype(u.dtype)
-        inE = (vx < 0).astype(u.dtype)
-        inS = (-vy < 0).astype(u.dtype)
-        inN = (vy < 0).astype(u.dtype)
+        inW = (-vx < 0) * vW
+        inE = (vx < 0) * vE
+        inS = (-vy < 0) * vS
+        inN = (vy < 0) * vN
 
         def fint(j):                                  # sum_q j wq (x ds later)
             return quad_reduce1(wq, j)
@@ -94,7 +105,8 @@ def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
                           jnp.abs(ind) / jnp.where(denom == 0.0, 1.0, denom),
                           0.0)
 
-        jump2 = (fint(jW**2) + fint(jE**2)) * dy + (fint(jS**2) + fint(jN**2)) * dx
+        jump2 = ((fint(jW**2) * vW + fint(jE**2) * vE) * dy
+                 + (fint(jS**2) * vS + fint(jN**2) * vN) * dx)
         jump = jnp.sqrt(jump2 / (4.0 * h)) * diam
         return shock, jump
 

@@ -29,31 +29,51 @@ def minmod(a, b, c, Mdx2):
     return jnp.where(jnp.abs(a) < Mdx2, a, jnp.where(samesign, m, 0.0))
 
 
-def neighbor_diffs(ubar, D, per_x: bool, per_y: bool):
+def neighbor_valid(shape, per_x: bool, per_y: bool,
+                   mask: np.ndarray | None = None):
+    """Bool [ny, nx] flags (W, E, S, N): does a usable (in-domain, fluid)
+    neighbor exist in that direction?  Encodes the reference's lcell/rcell/
+    bcell/tcell tables (src/claw.cc:336-380) plus the solid-cell mask."""
+    m = np.ones(shape, bool) if mask is None else np.asarray(mask, bool)
+
+    def shifted(axis, shift, periodic):
+        s = np.roll(m, shift, axis=axis)
+        if not periodic:
+            if axis == 1 and shift == 1:
+                s[:, 0] = False
+            elif axis == 1:
+                s[:, -1] = False
+            elif shift == 1:
+                s[0, :] = False
+            else:
+                s[-1, :] = False
+        return s
+
+    return (shifted(1, 1, per_x), shifted(1, -1, per_x),
+            shifted(0, 1, per_y), shifted(0, -1, per_y))
+
+
+def neighbor_diffs(ubar, D, valid):
     """Forward/backward cell-average differences with the reference's
     boundary fallback: where a neighbor is missing the difference degrades to
     the cell's own slope D (src/limiter.cc:283-316).
 
-    ubar [4, ny, nx]; D = (Dx, Dy) each [4, ny, nx].
-    Returns (dbx, dfx, dby, dfy)."""
+    ubar [4, ny, nx]; D = (Dx, Dy) each [4, ny, nx]; valid = (W, E, S, N)
+    neighbor flags.  Returns (dbx, dfx, dby, dfy)."""
     Dx, Dy = D
-    dbx = ubar - jnp.roll(ubar, 1, axis=-1)
-    dfx = jnp.roll(ubar, -1, axis=-1) - ubar
-    dby = ubar - jnp.roll(ubar, 1, axis=-2)
-    dfy = jnp.roll(ubar, -1, axis=-2) - ubar
-    if not per_x:
-        dbx = dbx.at[..., 0].set(Dx[..., 0])
-        dfx = dfx.at[..., -1].set(Dx[..., -1])
-    if not per_y:
-        dby = dby.at[..., 0, :].set(Dy[..., 0, :])
-        dfy = dfy.at[..., -1, :].set(Dy[..., -1, :])
+    vW, vE, vS, vN = valid
+    dbx = jnp.where(vW[None], ubar - jnp.roll(ubar, 1, axis=-1), Dx)
+    dfx = jnp.where(vE[None], jnp.roll(ubar, -1, axis=-1) - ubar, Dx)
+    dby = jnp.where(vS[None], ubar - jnp.roll(ubar, 1, axis=-2), Dy)
+    dfy = jnp.where(vN[None], jnp.roll(ubar, -1, axis=-2) - ubar, Dy)
     return dbx, dfx, dby, dfy
 
 
 def make_tvb_limiter(basis: basis_mod.Basis, mesh, M: float = 0.0,
                      beta: float = 1.0, char_lim: bool = False,
                      conserve_angular_momentum: bool = False,
-                     per_x: bool = False, per_y: bool = False, dtype=None):
+                     per_x: bool = False, per_y: bool = False, dtype=None,
+                     mask: np.ndarray | None = None):
     """Build limit(u, ubar, marked) -> u.
 
     marked : [ny, nx] bool/float mask (shock indicator > 1,
@@ -69,6 +89,8 @@ def make_tvb_limiter(basis: basis_mod.Basis, mesh, M: float = 0.0,
     Mdx2 = M * h * h
     modal = basis.family == "Pk"
     sqrt3 = float(np.sqrt(3.0))
+    valid = tuple(jnp.asarray(v) for v in
+                  neighbor_valid((mesh.ny, mesh.nx), per_x, per_y, mask))
 
     if modal:
         ix_x = 1              # (1,0) mode position (src/limiter.cc:414-419)
@@ -99,7 +121,7 @@ def make_tvb_limiter(basis: basis_mod.Basis, mesh, M: float = 0.0,
 
         ang_mom = Dx[euler.MY] - Dy[euler.MX]           # src/limiter.cc:422
 
-        dbx, dfx, dby, dfy = neighbor_diffs(ubar, (Dx, Dy), per_x, per_y)
+        dbx, dfx, dby, dfy = neighbor_diffs(ubar, (Dx, Dy), valid)
 
         if char_lim:
             Rx, Lx, Ry, Ly = euler.eigen_matrices(ubar)

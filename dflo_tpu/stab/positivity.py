@@ -98,8 +98,10 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
     return limit
 
 
-def negative_average_flag(ubar) -> jnp.ndarray:
-    """True if any cell-average density or pressure < EPS — the fatal
+def negative_average_flag(ubar, mask=None) -> jnp.ndarray:
+    """True if any (fluid) cell-average density or pressure < EPS — the fatal
     condition of src/positivity.cc:26-39; raise on the host."""
     bad = jnp.minimum(ubar[euler.RHO], euler.pressure(ubar)) < EPS
+    if mask is not None:
+        bad = bad & mask
     return jnp.any(bad)
