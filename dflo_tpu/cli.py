@@ -1,0 +1,187 @@
+"""Command-line driver: ``python -m dflo_tpu input.prm``.
+
+Re-implements the reference's main() + run() orchestration
+(src/main.cc:13-81, src/claw.cc:953-1130): parse the .prm config, build the
+mesh (from the Gmsh .geo/.msh referenced by `mesh file`, or the native
+`cartesian mesh` subsection), wire boundary ids to domain sides, set the IC,
+time-march with the configured flux/limiter chain, write VTU output and
+physics monitors on cadence, and report wall time (src/main.cc:50-54).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from dflo_tpu import ic as ic_mod
+from dflo_tpu.config.params import AllParameters
+from dflo_tpu.diagnostics import angular_momentum
+from dflo_tpu.driver import LimiterConfig, Solver
+from dflo_tpu.io.vtk import write_vtu
+from dflo_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+from dflo_tpu.mesh import CartesianMesh
+from dflo_tpu.physics import euler
+from dflo_tpu.solver.spatial import BoundarySide, SegmentedSide
+
+
+def build_domain(params: AllParameters, prm_dir: str = "."):
+    """Mesh + mask + per-side boundary ids from the config."""
+    cm = params.cartesian_mesh
+    if params.mesh_type == "cartesian" or cm.nx > 0:
+        mesh = CartesianMesh(cm.nx, cm.ny, cm.x0, cm.x1, cm.y0, cm.y1)
+        side_bids = {"W": np.full(cm.ny, 4), "E": np.full(cm.ny, 2),
+                     "S": np.full(cm.nx, 1), "N": np.full(cm.nx, 3)}
+        # native meshes use the Gmsh-free convention S=1,E=2,N=3,W=4
+        return mesh, None, side_bids
+    path = os.path.join(prm_dir, params.mesh_filename)
+    if not os.path.exists(path):
+        # the reference ships .geo generators, not .msh files; fall back
+        geo = os.path.splitext(path)[0] + ".geo"
+        candidates = [path, geo] + [
+            os.path.join(prm_dir, f) for f in sorted(os.listdir(prm_dir))
+            if f.endswith(".geo")]
+        path = next((c for c in candidates if os.path.exists(c)), None)
+        if path is None:
+            raise FileNotFoundError(
+                f"mesh file {params.mesh_filename!r} not found "
+                f"(src/claw.cc:961 fatal)")
+    if path.endswith(".geo"):
+        from dflo_tpu.mesh.geo import load_geo
+        dom = load_geo(path)
+        return dom.mesh, dom.mask, dom.side_bids
+    from dflo_tpu.mesh.msh import load_msh
+    dom = load_msh(path)
+    return dom.mesh, dom.mask, dom.side_bids
+
+
+def build_bcs(params: AllParameters, side_bids: dict):
+    """Map the boundary_N config table onto the four domain sides."""
+    wall = BoundarySide(euler.BC_SLIP)
+    sides = {}
+    for name, bids in side_bids.items():
+        uniq = sorted(set(int(b) for b in bids))
+        segs, seg_of = [], {}
+        for b in uniq:
+            spec = params.boundary_conditions.get(b)
+            if b < 0 or spec is None:
+                segs.append(wall)          # bbox edge behind solid region
+            else:
+                segs.append(BoundarySide(spec.kind, spec.values))
+            seg_of[b] = len(segs) - 1
+        seg_id = np.array([seg_of[int(b)] for b in bids], np.int32)
+        if len(segs) == 1:
+            sides[name] = segs[0]
+        else:
+            sides[name] = SegmentedSide(seg_id, tuple(segs))
+    return sides
+
+
+def build_ic(params: AllParameters):
+    if params.ic_function in ic_mod.IC_FUNCTIONS:
+        return ic_mod.IC_FUNCTIONS[params.ic_function](params)
+    return params.initial_conditions
+
+
+def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
+    mesh, mask, side_bids = build_domain(params, prm_dir)
+    bcs = build_bcs(params, side_bids)
+
+    from dflo_tpu.ops.basis import make_basis
+    family = {"Qk": "Qk", "Pk": "Pk", "GLL": "Qk_gll"}[params.basis]
+    basis = make_basis(family, params.degree)
+
+    lim = LimiterConfig(
+        type=params.limiter.type if params.limiter.type != "minmax" else "TVB",
+        shock_indicator=params.limiter.shock_indicator,
+        M=params.limiter.M, beta=params.limiter.beta,
+        char_lim=params.limiter.char_lim, pos_lim=params.limiter.pos_lim,
+        conserve_angular_momentum=params.limiter.conserve_angular_momentum)
+
+    source = None
+    if params.gravity != 0.0:
+        g = params.gravity
+
+        def source(x, y, t, W):  # noqa: F811  (src/equation.h:829-850)
+            return euler.forcing_gravity(W, (0.0, -g))
+
+    solver = Solver(basis, mesh, bcs, flux=params.flux.flux, limiter=lim,
+                    source=source, cfl=params.cfl, mask=mask,
+                    device_mesh=device_mesh)
+    return solver, mask
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="dflo_tpu", description="TPU-native DG Euler solver")
+    ap.add_argument("prm", help="deal.II-style .prm configuration file")
+    ap.add_argument("--output-dir", default="output")
+    ap.add_argument("--final-time", type=float, default=None,
+                    help="override the config's final time")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save a checkpoint every N outputs")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu)")
+    ap.add_argument("--x64", action="store_true",
+                    help="run in float64 (parity studies)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    t_wall = time.time()
+    params = AllParameters.from_prm_file(args.prm)
+    prm_dir = os.path.dirname(os.path.abspath(args.prm))
+    solver, mask = build_solver(params, prm_dir)
+    basis, mesh = solver.basis, solver.mesh
+    print(f"dflo_tpu: {basis.family}{basis.degree}, mesh {mesh.nx}x{mesh.ny}, "
+          f"flux={params.flux.flux}, limiter={params.limiter.type}")
+
+    fn = build_ic(params)
+    u = solver.apply_mask(ic_mod.set_initial_condition(basis, mesh, fn))
+    t0, it0 = 0.0, 0
+    if args.resume:
+        u, t0, it0, _ = load_checkpoint(args.resume, basis=basis, mesh=mesh)
+
+    t_end = args.final_time if args.final_time is not None \
+        else params.final_time
+    out_iter = params.output.output_iter_step
+    ang_iter = params.output.ang_mom_step
+    snap = [0]
+
+    def write_snapshot(u, t):
+        path = os.path.join(args.output_dir, f"solution-{snap[0]:03d}.vtu")
+        write_vtu(path, basis, mesh, np.asarray(u), t=t,
+                  schlieren=params.output.schlieren_plot, mask=mask)
+        if args.checkpoint_every and snap[0] % args.checkpoint_every == 0:
+            save_checkpoint(os.path.join(args.output_dir,
+                                         f"checkpoint-{snap[0]:03d}.npz"),
+                            u, t, snap[0], basis=basis, mesh=mesh)
+        snap[0] += 1
+
+    write_snapshot(u, t0)
+
+    def callback(u, t, it):
+        if it % 50 == 0 or t >= t_end - 1e-12:
+            print(f"  it={it0 + it:6d}  t={t:.6f}")
+        if out_iter and it % out_iter == 0:
+            write_snapshot(u, t)
+        if ang_iter and it % ang_iter == 0:
+            am = float(angular_momentum(basis, mesh, u, mask))
+            print(f"Total angular momentum: {t:18.8e} {am:24.14e}")
+
+    u, t, it = solver.run(u, t_end, t0=t0, callback=callback)
+    write_snapshot(u, t)
+    print(f"steps={it}  final t={t:.6f}  wall={time.time() - t_wall:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

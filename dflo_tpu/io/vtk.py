@@ -1,0 +1,150 @@
+"""Solution output: derived quantities + VTU writer.
+
+Re-implements the reference's output layer (src/output.cc:32-107 +
+EulerEquations::Postprocessor, src/equation.h:1186-1213 / src/equation.cc:
+35-187): conserved fields plus XVelocity/YVelocity/Pressure and the
+schlieren field |grad rho|^2 (src/equation.cc:122-124), written as one VTU
+file per snapshot (output/solution-NNN.vtu naming like src/output.cc:95-105).
+
+Each DG cell is written as its own bilinear-subdivided patch (p x p quad
+subcells with values at the (p+1)^2 uniform nodes), so discontinuities at
+cell interfaces render faithfully — the deal.II DataOut::build_patches
+behavior.  Pure numpy; runs on host at output cadence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from dflo_tpu.ops import basis as basis_mod
+from dflo_tpu.ops.contract import basis_apply
+from dflo_tpu.physics import euler
+
+
+def derived_fields(W):
+    """(XVelocity, YVelocity, Pressure) from conserved values W[4, ...]
+    (src/equation.cc:113-120)."""
+    vx = W[euler.MX] / W[euler.RHO]
+    vy = W[euler.MY] / W[euler.RHO]
+    p = (euler.GAMMA - 1.0) * (W[euler.ENE]
+                               - 0.5 * (W[euler.MX]**2 + W[euler.MY]**2)
+                               / W[euler.RHO])
+    return vx, vy, p
+
+
+def _patch_nodes(p: int) -> np.ndarray:
+    """(p+1)^2 uniform reference nodes, x fastest."""
+    s = np.linspace(0.0, 1.0, p + 1)
+    return np.array([(a, b) for b in s for a in s])
+
+
+def write_vtu(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
+              schlieren: bool = True, mask=None, extra_cell_fields=None):
+    """Write the DG solution as a VTU file of per-cell patches.
+
+    u    : [4, K, ny, nx] (host or device array; converted to numpy)
+    mask : optional [ny, nx] fluid flags; solid cells are dropped entirely
+    extra_cell_fields : dict name -> [ny, nx] piecewise-constant fields
+             (shock indicator, mu_shock, MOOD degrees ... as in the per-cell
+              .gpl outputs of src/output.cc:43-70)
+    """
+    import numpy as _np
+    u = _np.asarray(u)
+    p = basis.degree
+    ny, nx = u.shape[-2:]
+    nodes = _patch_nodes(p)
+    m = _np.ones((ny, nx), bool) if mask is None else _np.asarray(mask, bool)
+
+    # values at patch nodes: [4, M, ny, nx]
+    E = basis.eval_at(nodes)
+    vals = np.asarray(basis_apply(E, u))
+    # gradients for schlieren
+    if schlieren:
+        Gx, Gy = basis.grad_at(nodes)
+        drdx = np.asarray(basis_apply(Gx, u[euler.RHO][None]))[0] / mesh.dx
+        drdy = np.asarray(basis_apply(Gy, u[euler.RHO][None]))[0] / mesh.dy
+        schl = drdx**2 + drdy**2                     # src/equation.cc:122-124
+
+    xn, yn = mesh.point_coords(nodes)                # [M, ny, nx]
+
+    iy, ix = np.nonzero(m)
+    ncell = len(iy)
+    M = len(nodes)
+    # points, duplicated per cell (discontinuous fields)
+    pts = np.zeros((ncell * M, 3))
+    pts[:, 0] = xn[:, iy, ix].T.ravel()
+    pts[:, 1] = yn[:, iy, ix].T.ravel()
+
+    def gather(field):                               # [M, ny, nx] -> flat
+        return field[:, iy, ix].T.ravel()
+
+    fields = {
+        "Density": gather(vals[euler.RHO]),
+        "XMomentum": gather(vals[euler.MX]),
+        "YMomentum": gather(vals[euler.MY]),
+        "Energy": gather(vals[euler.ENE]),
+    }
+    vx, vy, pr = derived_fields(vals)
+    fields["XVelocity"] = gather(vx)
+    fields["YVelocity"] = gather(vy)
+    fields["Pressure"] = gather(pr)
+    if schlieren:
+        fields["schlieren_plot"] = gather(schl)
+
+    # connectivity: p*p quad subcells per cell
+    n1 = p + 1
+    sub = []
+    for j in range(p):
+        for i in range(p):
+            a = j * n1 + i
+            sub.append([a, a + 1, a + n1 + 1, a + n1])
+    sub = np.array(sub)                              # [p*p, 4]
+    conn = (np.arange(ncell)[:, None, None] * M + sub[None]).reshape(-1, 4)
+
+    cell_fields = {}
+    for name, arr in (extra_cell_fields or {}).items():
+        a = np.asarray(arr)[iy, ix]
+        cell_fields[name] = np.repeat(a, p * p)
+
+    _write_vtu_file(path, pts, conn, fields, cell_fields, t)
+
+
+def _write_vtu_file(path, pts, conn, point_fields, cell_fields, t):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ncells = len(conn)
+    npts = len(pts)
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n')
+        f.write(f'<UnstructuredGrid>\n'
+                f'<FieldData><DataArray type="Float64" Name="TimeValue" '
+                f'NumberOfTuples="1" format="ascii">{t}</DataArray>'
+                f'</FieldData>\n')
+        f.write(f'<Piece NumberOfPoints="{npts}" NumberOfCells="{ncells}">\n')
+        f.write('<Points><DataArray type="Float64" NumberOfComponents="3" '
+                'format="ascii">\n')
+        np.savetxt(f, pts, fmt="%.10g")
+        f.write('</DataArray></Points>\n<Cells>\n')
+        f.write('<DataArray type="Int32" Name="connectivity" format="ascii">\n')
+        np.savetxt(f, conn, fmt="%d")
+        f.write('</DataArray>\n')
+        f.write('<DataArray type="Int32" Name="offsets" format="ascii">\n')
+        np.savetxt(f, np.arange(4, 4 * ncells + 1, 4)[:, None], fmt="%d")
+        f.write('</DataArray>\n')
+        f.write('<DataArray type="UInt8" Name="types" format="ascii">\n')
+        np.savetxt(f, np.full((ncells, 1), 9), fmt="%d")   # VTK_QUAD
+        f.write('</DataArray>\n</Cells>\n')
+        f.write('<PointData>\n')
+        for name, arr in point_fields.items():
+            f.write(f'<DataArray type="Float64" Name="{name}" format="ascii">\n')
+            np.savetxt(f, np.asarray(arr)[:, None], fmt="%.10g")
+            f.write('</DataArray>\n')
+        f.write('</PointData>\n<CellData>\n')
+        for name, arr in cell_fields.items():
+            f.write(f'<DataArray type="Float64" Name="{name}" format="ascii">\n')
+            np.savetxt(f, np.asarray(arr)[:, None], fmt="%.10g")
+            f.write('</DataArray>\n')
+        f.write('</CellData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n')
