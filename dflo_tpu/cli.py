@@ -108,9 +108,15 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
         def source(x, y, t, W):  # noqa: F811  (src/equation.h:829-850)
             return euler.forcing_gravity(W, (0.0, -g))
 
+    well_balanced = None
+    if params.potential is not None:
+        well_balanced = params.well_balanced
+
     solver = Solver(basis, mesh, bcs, flux=params.flux.flux, limiter=lim,
                     source=source, cfl=params.cfl, mask=mask,
-                    device_mesh=device_mesh)
+                    device_mesh=device_mesh,
+                    well_balanced=well_balanced, potential=params.potential,
+                    mass_matrix=params.mass_matrix)
     return solver, mask
 
 

@@ -139,6 +139,11 @@ class AllParameters:
     gravity: float = 0.0
     potential: Callable | None = None      # src_gll/parameters.cc:358
     mass_matrix: str = "diagonal"          # src_gll/parameters.cc:342
+    well_balanced: str = "isothermal"      # which src_gll gravity form is
+                                           # active when a potential is set
+                                           # (polytropic is the manually
+                                           #  swapped variant,
+                                           #  src_gll/assemble_explicit.cc:579)
     # time stepping
     is_stationary: bool = False
     cfl: float = 0.0
@@ -188,6 +193,7 @@ class AllParameters:
         if pot is not None:
             p.potential = compile_expression(pot, ("x", "y"))
         p.mass_matrix = take(d, "mass matrix", p.mass_matrix)
+        p.well_balanced = take(d, "well balanced", p.well_balanced)
 
         ts = take(d, "time stepping", {})
         p.is_stationary = _bool(take(ts, "stationary", "false"))

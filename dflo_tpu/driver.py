@@ -44,7 +44,9 @@ class Solver:
                  flux: str = "lxf", limiter: LimiterConfig | None = None,
                  source: Callable | None = None, scheme: str | None = None,
                  cfl: float = 0.9, device_mesh=None, mask=None,
-                 solid_state=(0.0, 0.0, 1.0, 2.5), dtype=None):
+                 solid_state=(0.0, 0.0, 1.0, 2.5), dtype=None,
+                 well_balanced: str | None = None, potential=None,
+                 polytropic_nu: float = 1.2, mass_matrix: str = "diagonal"):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -61,7 +63,10 @@ class Solver:
         per_x = getattr(bcs["W"], "kind", None) == euler.BC_PERIODIC
         per_y = getattr(bcs["S"], "kind", None) == euler.BC_PERIODIC
         self.rhs = make_rhs(basis, mesh, bcs, flux=flux, source=source,
-                            mask=mask, dtype=dtype)
+                            mask=mask, dtype=dtype,
+                            well_balanced=well_balanced, potential=potential,
+                            polytropic_nu=polytropic_nu,
+                            mass_matrix=mass_matrix)
         self.avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
 
         cfg = self.limiter_cfg

@@ -106,11 +106,85 @@ def vortex_system():
     return fn
 
 
+def polytropic_hydrostatic(nu: float = 1.2, p0: float = 1.0,
+                           rho0: float = 1.0, alpha: float = 1.0):
+    """Polytropic hydrostatic equilibrium, phi = y
+    (src_gll/ic.h:11-27, src_gll/ic.cc:13-29)."""
+
+    def fn(x, y, t=0.0):
+        rho = (rho0 ** (nu - 1.0) - alpha * (nu - 1.0) / nu * y) \
+            ** (1.0 / (nu - 1.0))
+        pre = alpha * rho ** nu
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, pre / (GAMMA - 1.0)])
+
+    return fn
+
+
+def isothermal_hydrostatic(eta: float = 0.0, rho0: float = 1.21,
+                           p0: float = 1.0, g: float = 1.0):
+    """Xing-Shu isothermal equilibrium with optional Gaussian pressure
+    perturbation eta (src_gll/ic.h:72-89, src_gll/ic.cc:106-122);
+    phi = g*(x + y)."""
+
+    def fn(x, y, t=0.0):
+        ff1 = -(rho0 * g) / p0 * (x + y)
+        ff2 = -(100.0 * rho0 * g) / p0 * ((x - 0.3) ** 2 + (y - 0.3) ** 2)
+        rho = rho0 * jnp.exp(ff1)
+        pre = p0 * jnp.exp(ff1) + eta * jnp.exp(ff2)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, pre / (GAMMA - 1.0)])
+
+    return fn
+
+
+def radial_rayleigh_taylor(r0: float = 0.6, eta: float = 0.02,
+                           k: float = 20.0, drho: float = 0.1):
+    """Radial RT in a radial gravity field, phi = r
+    (src_gll/ic.h:51-67, src_gll/ic.cc:67-100)."""
+    alpha = np.exp(-r0) / (np.exp(-r0) + drho)
+    factor = np.exp(r0 * (1.0 - alpha) / alpha)
+
+    def fn(x, y, t=0.0):
+        r = jnp.sqrt(x * x + y * y)
+        theta = jnp.arctan2(y, x)
+        pre = jnp.where(r < r0, jnp.exp(-r), factor * jnp.exp(-r / alpha))
+        ds = 0.01
+        ri = r0 * (1.0 + eta * jnp.cos(k * theta))
+        H = 0.5 * (1.0 - jnp.tanh((r - ri) / ds))
+        rho = jnp.exp(-r) * H + factor / alpha * jnp.exp(-r / alpha) * (1.0 - H)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, pre / (GAMMA - 1.0)])
+
+    return fn
+
+
+def unsteady_gravity(u0: float = 1.0, v0: float = 1.0, p0: float = 4.5):
+    """Xing-Shu sec. 5.4 exact unsteady solution in a linear field,
+    phi = x + y (src_gll/ic.h:92-110, src_gll/ic.cc:128-146).  Time-dependent:
+    the exact-solution oracle for gravity convergence studies."""
+
+    def fn(x, y, t=0.0):
+        rho = 1.0 + 0.2 * jnp.sin(jnp.pi * (x + y - t * (u0 + v0)))
+        pre = (p0 - x - y + t * (u0 + v0)
+               + 0.2 * jnp.cos(jnp.pi * (x + y - t * (u0 + v0))) / jnp.pi)
+        return jnp.stack([rho * u0, rho * v0, rho,
+                          pre / (GAMMA - 1.0)
+                          + 0.5 * (u0 * u0 + v0 * v0) * rho])
+
+    return fn
+
+
 IC_FUNCTIONS = {
+    # names match the reference's ic_function dispatch
+    # (src/ic.cc:104-121, src_gll/ic.cc:354-377)
     "isenvort": lambda params=None: isentropic_vortex(5.0, 0.0, 0.0),
     "vortsys": lambda params=None: vortex_system(),
     "rt": lambda params=None: rayleigh_taylor(
         getattr(params, "gravity", 1.0) if params is not None else 1.0),
+    "rrt": lambda params=None: radial_rayleigh_taylor(),
+    "isohydro": lambda params=None: isothermal_hydrostatic(),
+    "polyhydro": lambda params=None: polytropic_hydrostatic(1.2),
 }
 
 

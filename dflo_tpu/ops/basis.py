@@ -123,8 +123,10 @@ class Basis:
 
     @property
     def is_nodal_collocated(self) -> bool:
-        """True when V == I (solution values at quad points are the DoFs)."""
-        return self.family == "Qk"
+        """True when V == I (solution values at quad points are the DoFs):
+        Qk on its Gauss nodes, Qk_gll on its Gauss-Lobatto nodes
+        (src_gll/assemble_explicit.cc:66-72)."""
+        return self.family in ("Qk", "Qk_gll") and self.nq == self.degree + 1
 
     # -- generic evaluation at arbitrary reference points ---------------------
     def eval_at(self, pts: np.ndarray) -> np.ndarray:
@@ -186,13 +188,19 @@ def make_basis(family: str, degree: int, nq: int | None = None) -> Basis:
     """Build the reference-cell operator set for (family, degree).
 
     nq defaults to degree+1 Gauss points, matching the reference's assembly
-    quadrature (src/claw.cc:394,419).
+    quadrature (src/claw.cc:394,419).  The Qk_gll family instead collocates
+    on degree+1 Gauss-Lobatto points (quadrature points = nodes, V = I) —
+    the src_gll scheme whose lumped mass and nodal source discretization the
+    well-balanced gravity forms rely on (src_gll/assemble_explicit.cc:30-135).
     """
     if family not in ("Qk", "Qk_gll", "Pk"):
         raise ValueError(f"unknown basis family {family!r}")
     p = int(degree)
     nq = nq or (p + 1)
-    xq, wq = quadrature.gauss(nq)
+    if family == "Qk_gll" and nq == p + 1:
+        xq, wq = quadrature.gauss_lobatto(nq)
+    else:
+        xq, wq = quadrature.gauss(nq)
 
     # volume quad grid, x fastest
     QX, QY = np.meshgrid(xq, xq, indexing="xy")  # QY[j,i]=xq[j], QX[j,i]=xq[i]
@@ -213,8 +221,14 @@ def make_basis(family: str, degree: int, nq: int | None = None) -> Basis:
     }
     faceV = np.stack([_eval_matrix(family, p, facepts[f]) for f in range(4)])
 
-    # mass matrices on the reference cell
-    mass_full = (V * wq2[:, None]).T @ V
+    # mass matrices on the reference cell; the consistent matrix is always
+    # integrated exactly with a (p+1)-point Gauss rule (degree-2p integrand),
+    # independent of the assembly quadrature
+    xe, we = quadrature.gauss(p + 1)
+    QXe, QYe = np.meshgrid(xe, xe, indexing="xy")
+    Ve = _eval_matrix(family, p, np.stack([QXe.ravel(), QYe.ravel()], axis=1))
+    w2e = np.outer(we, we).ravel()
+    mass_full = (Ve * w2e[:, None]).T @ Ve
     if family == "Qk":
         # collocated Gauss: diagonal by construction (src/claw.cc:228-258)
         mass = np.diag(mass_full).copy()
@@ -222,6 +236,7 @@ def make_basis(family: str, degree: int, nq: int | None = None) -> Basis:
         mass = np.ones(K)  # orthonormal
     else:
         # GLL lumping: integrate phi_i^2 with the GLL rule itself -> w_i w_j
+        # (mass matrix = diagonal, src_gll/claw.cc:233-262)
         xg, wg = quadrature.gauss_lobatto(p + 1)
         idx = _qk_index(p + 1)
         mass = np.array([wg[i] * wg[j] for (i, j) in idx])

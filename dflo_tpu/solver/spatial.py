@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dflo_tpu.ops import basis as basis_mod
-from dflo_tpu.ops.contract import basis_apply, basis_reduce
+from dflo_tpu.ops.contract import basis_apply, basis_apply1, basis_reduce
 from dflo_tpu.ops.basis import WEST, EAST, SOUTH, NORTH
 from dflo_tpu.physics import euler
 from dflo_tpu.physics.fluxes import get_flux
@@ -100,7 +100,10 @@ def _mirror_y(U):
 
 def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
              flux: str = "lxf", source: Callable | None = None,
-             mask: np.ndarray | None = None, dtype=None):
+             mask: np.ndarray | None = None, dtype=None,
+             well_balanced: str | None = None,
+             potential: Callable | None = None, polytropic_nu: float = 1.2,
+             mass_matrix: str = "diagonal"):
     """Build du/dt = rhs(u, t) for a Cartesian mesh.
 
     bcs    : {'W','E','S','N'} -> BoundarySide | SegmentedSide.  Periodic
@@ -114,6 +117,17 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
              block: fluid-solid interfaces get slip-wall mirror fluxes and
              solid cells receive zero residual — the TPU-native form of the
              reference's multiblock step.geo domain.
+    well_balanced : None | 'isothermal' | 'polytropic' — the src_gll
+             gravity schemes that preserve hydrostatic equilibria to machine
+             precision: the source is p/E * grad_h(E) with E the nodal
+             interpolant of the equilibrium profile (isothermal
+             E = exp(-phi/RT), src_gll/assemble_explicit.cc:30-135;
+             polytropic src_gll/assemble_explicit.cc:138-230).  Requires a
+             nodal-collocated basis (Qk_gll) and `potential` phi(x, y)
+             (src_gll/parameters.cc:358).
+    mass_matrix : 'diagonal' (lumped, src_gll/claw.cc:233-262) or 'full'
+             (consistent, exact per-cell tensor-product inverse replacing the
+             PreconditionBlockJacobi solve of src_gll/claw.cc:754-770).
     """
     dtype = dtype or jnp.zeros(0).dtype
     num_flux = get_flux(flux)
@@ -153,7 +167,26 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     faceVw = [cast(basis.wq[:, None] * basis.faceV[f]) for f in range(4)]
     avg_op = cast(basis.wq2 @ basis.V)
     minv = cast(1.0 / basis.mass)
+    if mass_matrix == "full":
+        minv_full = cast(np.linalg.inv(basis.mass_full))
+    elif mass_matrix != "diagonal":
+        raise ValueError(f"unknown mass matrix option {mass_matrix!r}")
     collocated = basis.is_nodal_collocated and basis.nq == basis.degree + 1
+
+    if well_balanced is not None:
+        if well_balanced not in ("isothermal", "polytropic"):
+            raise ValueError(f"unknown well-balanced form {well_balanced!r}")
+        if not collocated:
+            raise ValueError("well-balanced gravity needs a nodal-collocated "
+                             "basis (GLL, src_gll/assemble_explicit.cc:66-72)")
+        if potential is None:
+            raise ValueError("well-balanced gravity needs a potential phi(x,y)")
+        QXp, QYp = np.meshgrid(basis.xq, basis.xq, indexing="xy")
+        ppts = np.stack([QXp.ravel(), QYp.ravel()], axis=1)
+        xphi, yphi = mesh.point_coords(ppts)
+        phi = cast(potential(jnp.asarray(xphi, dtype), jnp.asarray(yphi, dtype)))
+        Gxn = cast(basis.Gx)          # nodal derivative matrices (V = I)
+        Gyn = cast(basis.Gy)
 
     # boundary face quadrature coordinates (for BC expressions)
     face_xy = {}
@@ -204,16 +237,48 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         Fx = euler.flux_x(W)
         Fy = euler.flux_y(W)
 
+        # ---- cell averages (LF/KEP dissipation states, src/claw.h:338) ---
+        ub = basis_reduce(avg_op, u)
+
         # ---- volume term: + int F . grad(phi) dV -------------------------
         R = dy * basis_apply(GxW.T, Fx) + dx * basis_apply(GyW.T, Fy)
 
-        # ---- source term -------------------------------------------------
+        # ---- source terms ------------------------------------------------
         if source is not None:
             S = source(xq2, yq2, t, W)
             R = R + area * basis_apply(Vw.T, S)
-
-        # ---- cell averages (LF/KEP dissipation states, src/claw.h:338) ---
-        ub = basis_reduce(avg_op, u)
+        if well_balanced == "isothermal":
+            # src_gll/assemble_explicit.cc:30-135: S_m = (rho RT / E) grad_h E
+            # with E = exp(-phi/RT), RT from the cell average
+            RT = euler.pressure(ub) / ub[euler.RHO]          # [ny, nx]
+            E = jnp.exp(-phi / RT[None])                     # [Q, ny, nx]
+            dEx = basis_apply1(Gxn, E) / dx
+            dEy = basis_apply1(Gyn, E) / dy
+            fac = W[euler.RHO] * RT[None] / E
+            Sx = fac * dEx
+            Sy = fac * dEy
+            SE = (W[euler.MX] * Sx + W[euler.MY] * Sy) / W[euler.RHO]
+            S = jnp.stack([Sx, Sy, jnp.zeros_like(Sx), SE])
+            R = R + area * basis_apply(Vw.T, S)
+        elif well_balanced == "polytropic":
+            # src_gll/assemble_explicit.cc:138-230
+            nu = polytropic_nu
+            pq = euler.pressure(W)
+            ff = nu / (nu - 1.0) * pq / W[euler.RHO] + phi   # [Q, ny, nx]
+            qstar = jnp.argmax(ff, axis=0)
+            beta = jnp.max(ff, axis=0)                       # [ny, nx]
+            alpha_q = pq / W[euler.RHO] ** nu
+            alpha = jnp.take_along_axis(alpha_q, qstar[None], axis=0)[0]
+            E = ((nu - 1.0) * (beta[None] - phi)
+                 / (nu * alpha[None])) ** (nu / (nu - 1.0))
+            dEx = basis_apply1(Gxn, E) / dx
+            dEy = basis_apply1(Gyn, E) / dy
+            fac = (nu - 1.0) / nu * W[euler.RHO] * (beta[None] - phi) / E
+            Sx = fac * dEx
+            Sy = fac * dEy
+            SE = (W[euler.MX] * Sx + W[euler.MY] * Sy) / W[euler.RHO]
+            S = jnp.stack([Sx, Sy, jnp.zeros_like(Sx), SE])
+            R = R + area * basis_apply(Vw.T, S)
 
         # ---- face traces -------------------------------------------------
         uW = basis_apply(faceV[WEST], u)
@@ -278,8 +343,11 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         R = R - dx * _lift(faceVw[NORTH], Fy_all[..., 1:, :])
         R = R + dx * _lift(faceVw[SOUTH], Fy_all[..., :-1, :])
 
-        # ---- diagonal mass solve (src/claw.cc:694-713) --------------------
-        R = R * (minv[None, :, None, None] / area)
+        # ---- mass solve (src/claw.cc:694-713; full: src_gll/claw.cc:754) --
+        if mass_matrix == "full":
+            R = basis_apply(minv_full, R) / area
+        else:
+            R = R * (minv[None, :, None, None] / area)
         if mask is not None:
             R = R * fmask[None, None]       # solid cells are frozen
         return R
