@@ -95,7 +95,7 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
     basis = make_basis(family, params.degree)
 
     lim = LimiterConfig(
-        type=params.limiter.type if params.limiter.type != "minmax" else "TVB",
+        type=params.limiter.type,
         shock_indicator=params.limiter.shock_indicator,
         M=params.limiter.M, beta=params.limiter.beta,
         char_lim=params.limiter.char_lim, pos_lim=params.limiter.pos_lim,
@@ -112,9 +112,10 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
     if params.potential is not None:
         well_balanced = params.well_balanced
 
+    method = "mood" if params.solver.method == "mood" else "rk"
     solver = Solver(basis, mesh, bcs, flux=params.flux.flux, limiter=lim,
                     source=source, cfl=params.cfl, mask=mask,
-                    device_mesh=device_mesh,
+                    device_mesh=device_mesh, method=method,
                     well_balanced=well_balanced, potential=params.potential,
                     mass_matrix=params.mass_matrix)
     return solver, mask

@@ -46,7 +46,8 @@ class Solver:
                  cfl: float = 0.9, device_mesh=None, mask=None,
                  solid_state=(0.0, 0.0, 1.0, 2.5), dtype=None,
                  well_balanced: str | None = None, potential=None,
-                 polytropic_nu: float = 1.2, mass_matrix: str = "diagonal"):
+                 polytropic_nu: float = 1.2, mass_matrix: str = "diagonal",
+                 method: str = "rk"):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -71,17 +72,34 @@ class Solver:
 
         cfg = self.limiter_cfg
         self._indicator = make_shock_indicator(
-            basis, mesh, cfg.shock_indicator, per_x, per_y, dtype, mask=mask)
-        self._limit = (make_tvb_limiter(
-            basis, mesh, M=cfg.M, beta=cfg.beta, char_lim=cfg.char_lim,
-            conserve_angular_momentum=cfg.conserve_angular_momentum,
-            per_x=per_x, per_y=per_y, dtype=dtype, mask=mask)
-            if cfg.type == "TVB" else None)
+            basis, mesh, cfg.shock_indicator, per_x, per_y, dtype, mask=mask,
+            rhs=self.rhs)
+        if cfg.type == "TVB":
+            self._limit = make_tvb_limiter(
+                basis, mesh, M=cfg.M, beta=cfg.beta, char_lim=cfg.char_lim,
+                conserve_angular_momentum=cfg.conserve_angular_momentum,
+                per_x=per_x, per_y=per_y, dtype=dtype, mask=mask)
+        elif cfg.type == "minmax":
+            from dflo_tpu.stab.limiter import make_minmax_limiter
+            self._limit = make_minmax_limiter(
+                basis, mesh, M=cfg.M, char_lim=cfg.char_lim,
+                per_x=per_x, per_y=per_y, dtype=dtype, mask=mask)
+        elif cfg.type == "none":
+            self._limit = None
+        else:
+            raise ValueError(f"unknown limiter type {cfg.type!r}")
         self._positivity = (make_positivity_limiter(basis, mesh, dtype)
                             if cfg.pos_lim else None)
 
         self.ark, self.stage_times = rk_mod.rk_coeffs(
             scheme or rk_mod.default_scheme(basis.degree))
+        self.method = method
+        if method == "mood":
+            from dflo_tpu.stab.mood import make_mood
+            self._mood_stage = make_mood(basis, mesh, self.rhs, per_x, per_y,
+                                         mask=mask, dtype=dtype)
+        elif method != "rk":
+            raise ValueError(f"unknown solver method {method!r}")
         self._step = jax.jit(self._make_step())
 
     # ------------------------------------------------------------------
@@ -95,14 +113,14 @@ class Solver:
             return u
         return jnp.where(self._fmask[None, None], u, self._u_solid)
 
-    def post_stage(self, u):
+    def post_stage(self, u, t=0.0):
         """Stabilization chain after each RK stage (src/claw.cc:762-766)."""
         u = self.apply_mask(u)
         if self._limit is None and self._positivity is None:
             return u
         ubar = self.cell_averages(u)
         if self._limit is not None:
-            shock, _ = self._indicator(u, ubar)
+            shock, _ = self._indicator(u, ubar, t)
             u = self._limit(u, ubar, shock)
         if self._positivity is not None:
             u = self._positivity(u, ubar)
@@ -116,6 +134,25 @@ class Solver:
         from dflo_tpu.parallel.sharding import shard_state
         return shard_state(u, self.device_mesh)
 
+    def _mood_rk_step(self, u, t, dt):
+        """SSP stages with the MOOD cascade replacing plain forward-Euler
+        updates (iterate_mood, src/claw.cc:777-871).  After each stage the
+        TVB limiter runs ONLY on cells the cascade marked
+        (shock_indicator set to 1e20, src/mood.cc:335-340) followed by the
+        positivity limiter (src/claw.cc:866-869)."""
+        u_old = u
+        for a, c in zip(self.ark, self.stage_times):
+            u_cand, marked = self._mood_stage(u, t + c * dt, dt)
+            u = a * u_old + (1.0 - a) * u_cand
+            u = self.apply_mask(u)
+            ubar = self.cell_averages(u)
+            if self._limit is not None:
+                shock = jnp.where(marked, 1e20, 0.0)
+                u = self._limit(u, ubar, shock)
+            if self._positivity is not None:
+                u = self._positivity(u, ubar)
+        return u
+
     def _make_step(self):
         def step(u, t, t_end):
             if self.device_mesh is not None:
@@ -127,8 +164,12 @@ class Solver:
             dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree,
                                    self.cfl, mask=fm)
             dt = jnp.minimum(dt, t_end - t)
-            u = rk_mod.ssp_rk_step(self.rhs, u, t, dt, self.ark,
-                                   self.stage_times, post_stage=self.post_stage)
+            if self.method == "mood":
+                u = self._mood_rk_step(u, t, dt)
+            else:
+                u = rk_mod.ssp_rk_step(self.rhs, u, t, dt, self.ark,
+                                       self.stage_times,
+                                       post_stage=self.post_stage)
             bad = negative_average_flag(self.cell_averages(u), mask=fm)
             return u, dt, bad
         return step

@@ -130,6 +130,49 @@ def eigen_matrices(U):
     return Rx, Lx, Ry, Ly
 
 
+def eigen_matrices_dir(U, kx, ky):
+    """Eigenvector matrices for the direction k = (kx, ky): the 2-argument
+    compute_eigen_matrix of src_mpi/equation.h:300-331.  Returns (R, L) in
+    the internal (rho, mx, my, E) ordering."""
+    g1 = GAMMA - 1.0
+    rho = U[RHO]
+    u = U[MX] / rho
+    v = U[MY] / rho
+    q2 = u * u + v * v
+    p = g1 * (U[ENE] - 0.5 * rho * q2)
+    c2 = GAMMA * p / rho
+    c = jnp.sqrt(c2)
+    beta = 0.5 / c2
+    phi2 = 0.5 * g1 * q2
+    h = c2 / g1 + 0.5 * q2
+    uk = u * kx + v * ky
+    one = jnp.ones_like(rho)
+    zero = jnp.zeros_like(rho)
+
+    def M(rows):
+        return jnp.stack([jnp.stack([jnp.broadcast_to(e, rho.shape)
+                                     for e in r]) for r in rows])
+
+    R = M([[one, zero, one, one],
+           [u, ky * one, u + kx * c, u - kx * c],
+           [v, -kx * one, v + ky * c, v - ky * c],
+           [0.5 * q2, ky * u - kx * v, h + c * uk, h - c * uk]])
+    L = M([[1 - phi2 / c2, g1 * u / c2, g1 * v / c2, -g1 / c2 * one],
+           [-(ky * u - kx * v), ky * one, -kx * one, zero],
+           [beta * (phi2 - c * uk), beta * (kx * c - g1 * u),
+            beta * (ky * c - g1 * v), beta * g1 * one],
+           [beta * (phi2 + c * uk), -beta * (kx * c + g1 * u),
+            -beta * (ky * c + g1 * v), beta * g1 * one]])
+    return R, L
+
+
+def streamline_eigen_matrices(U):
+    """(R, L) along the local velocity direction (src_mpi/equation.h:315-317,
+    theta = atan2(v, u)); falls back to the x-direction for stagnant cells."""
+    theta = jnp.arctan2(U[MY], U[MX])
+    return eigen_matrices_dir(U, jnp.cos(theta), jnp.sin(theta))
+
+
 def _reorder_to_internal(W):
     """(mx, my, rho, E) -> (rho, mx, my, E)  (src/equation.h:276-279)."""
     return jnp.stack([W[RHO], W[MX], W[MY], W[ENE]])

@@ -54,7 +54,7 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
             u = u + dt * rhs(u, t + c * dt)
             u = a * u_old + (1.0 - a) * u
             if post_stage is not None:
-                u = post_stage(u)
+                u = post_stage(u, t + c * dt)
         return u
 
     coeffs = jnp.asarray([ark, stage_times], dtype=u.dtype).T  # [n_rk, 2]
@@ -64,7 +64,7 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
         v = u + dt * rhs(u, t + c * dt)
         v = a * u_old + (1.0 - a) * v
         if post_stage is not None:
-            v = post_stage(v)
+            v = post_stage(v, t + c * dt)
         return v, None
 
     u, _ = jax.lax.scan(body, u, coeffs)

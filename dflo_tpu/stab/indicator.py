@@ -25,20 +25,58 @@ from dflo_tpu.physics import euler
 
 def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
                          per_x: bool = False, per_y: bool = False,
-                         dtype=None, mask: np.ndarray | None = None):
-    """Build indicator(u, ubar) -> (shock_ind[ny,nx], jump_ind[ny,nx]).
+                         dtype=None, mask: np.ndarray | None = None,
+                         rhs=None):
+    """Build indicator(u, ubar, t=0.0) -> (shock_ind[ny,nx], jump_ind[ny,nx]).
 
-    kind : 'limiter' (mark all), 'density', 'energy'
+    kind : 'limiter' (mark all, src/indicator.cc:19-22)
+           'density' | 'energy' (KXRCF, src/indicator.cc:48-198)
+           'u2' (Diot smoothness, src/indicator.cc:34-46 + src/mood.cc:233-282)
+           'residual' (per-cell rhs RMS > 1e-12,
+                       src_gll/indicator.cc:40-62; needs `rhs`)
     mask : optional bool [ny, nx] fluid mask; faces whose neighbor is solid
            count like boundary faces (skipped, src/indicator.cc:174-179).
     """
     dtype = dtype or jnp.zeros(0).dtype
     if kind == "limiter":
-        def mark_all(u, ubar):
+        def mark_all(u, ubar, t=0.0):
             shape = u.shape[-2:]
             big = jnp.full(shape, 1e20, dtype)
             return big, jnp.zeros(shape, dtype)
         return mark_all
+
+    if kind == "u2":
+        from dflo_tpu.stab.limiter import neighbor_valid
+        from dflo_tpu.stab import mood as mood_mod
+        if basis.family != "Pk" or basis.degree < 2:
+            raise ValueError("u2 indicator needs the Pk basis with degree >= 2"
+                             " (src/mood.cc:215-231 modal coefficients)")
+        p = basis.degree
+        valid = tuple(jnp.asarray(v) for v in
+                      neighbor_valid((mesh.ny, mesh.nx), per_x, per_y, mask))
+
+        def u2_indicator(u, ubar, t=0.0):
+            ok = jnp.ones(u.shape[-2:], bool)
+            for ix in (2, 2 * p + 1):
+                D2 = u[euler.RHO, ix]
+                mn = mood_mod.neighborhood_min(D2, valid)
+                mx = mood_mod.neighborhood_max(D2, valid)
+                ok = ok & (mn * mx >= 0) \
+                    & (jnp.abs(mn) >= jnp.abs(mx) * (1.0 - mood_mod.U2_EPS))
+            shock = jnp.where(ok, 0.0, 1e20).astype(dtype)
+            return shock, jnp.zeros_like(shock)
+        return u2_indicator
+
+    if kind == "residual":
+        if rhs is None:
+            raise ValueError("residual indicator needs the rhs function")
+
+        def residual_indicator(u, ubar, t=0.0):
+            r = rhs(u, t)                          # [4, K, ny, nx]
+            rms = jnp.sqrt(jnp.mean(r * r, axis=(0, 1)))
+            shock = jnp.where(rms > 1.0e-12, 1e20, 0.0).astype(dtype)
+            return shock, rms
+        return residual_indicator
 
     comp = {"density": euler.RHO, "energy": euler.ENE}[kind]
     faceV = [jnp.asarray(basis.faceV[f], dtype) for f in range(4)]
@@ -70,7 +108,7 @@ def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
     vS = jnp.asarray(shifted(0, 1, per_y), dtype)
     vN = jnp.asarray(shifted(0, -1, per_y), dtype)
 
-    def indicator(u, ubar):
+    def indicator(u, ubar, t=0.0):
         v = u[comp]                                   # [K, ny, nx]
         # traces of the indicator variable on each face: [nq, ny, nx]
         tW = basis_apply1(faceV[WEST], v)

@@ -164,3 +164,86 @@ def make_tvb_limiter(basis: basis_mod.Basis, mesh, M: float = 0.0,
         return jnp.where(active[None, None], u_lim, u)
 
     return limit
+
+
+def make_minmax_limiter(basis: basis_mod.Basis, mesh, M: float = 0.0,
+                        char_lim: bool = False,
+                        per_x: bool = False, per_y: bool = False, dtype=None,
+                        mask: np.ndarray | None = None):
+    """Barth-Jespersen-type minmax limiter (apply_limiter_minmax_Qk,
+    src_mpi/limiter.cc:397-555): per-face theta clipping of the mean gradient
+    so face-center reconstructions stay within the neighborhood min/max of
+    cell averages; characteristic option uses the streamline-direction
+    eigenvectors (src_mpi/equation.h:300-331)."""
+    dtype = dtype or jnp.zeros(0).dtype
+    p = basis.degree
+    if p == 0:
+        return lambda u, ubar, marked: u
+    if basis.family == "Pk":
+        raise ValueError("minmax limiter is implemented for nodal Qk bases "
+                         "(src_mpi tree is Qk-only)")
+
+    h = mesh.diameter_h
+    Mdx2 = M * h * h
+    gx_op = jnp.asarray(basis.wq2 @ basis.Gx, dtype)
+    gy_op = jnp.asarray(basis.wq2 @ basis.Gy, dtype)
+    drx = jnp.asarray((basis.nodes[:, 0] - 0.5) * mesh.dx, dtype)
+    dry = jnp.asarray((basis.nodes[:, 1] - 0.5) * mesh.dy, dtype)
+    valid = tuple(jnp.asarray(v) for v in
+                  neighbor_valid((mesh.ny, mesh.nx), per_x, per_y, mask))
+    vW, vE, vS, vN = valid
+
+    def limit(u, ubar, marked):
+        # mean physical gradients (src_mpi/limiter.cc:478-494)
+        Dx = basis_reduce(gx_op, u) / mesh.dx
+        Dy = basis_reduce(gy_op, u) / mesh.dy
+
+        if char_lim:
+            R, L = euler.streamline_eigen_matrices(ubar)
+            a_c = euler.to_characteristic(L, ubar)
+            cDx = euler.to_characteristic(L, Dx)
+            cDy = euler.to_characteristic(L, Dy)
+        else:
+            a_c, cDx, cDy = ubar, Dx, Dy
+
+        def nbr_char(shift, axis, v):
+            a = jnp.roll(ubar, shift, axis=axis)
+            if char_lim:
+                a = euler.to_characteristic(L, a)
+            inf = jnp.asarray(jnp.inf, u.dtype)
+            return jnp.where(v[None], a, inf), jnp.where(v[None], a, -inf)
+
+        amin, amax = a_c, a_c
+        for shift, axis, v in ((1, -1, vW), (-1, -1, vE),
+                               (1, -2, vS), (-1, -2, vN)):
+            lo, hi = nbr_char(shift, axis, v)
+            amin = jnp.minimum(amin, lo)
+            amax = jnp.maximum(amax, hi)
+
+        dumin = amin - a_c
+        dumax = amax - a_c
+        gate = (dumax - dumin) > Mdx2            # src_mpi/limiter.cc:505-507
+
+        theta = jnp.ones_like(a_c)
+        for du in (0.5 * mesh.dx * cDx, -0.5 * mesh.dx * cDx,
+                   0.5 * mesh.dy * cDy, -0.5 * mesh.dy * cDy):
+            dus = jnp.where(du == 0.0, 1.0, du)
+            t = jnp.where(du > 0.0, dumax / dus,
+                          jnp.where(du < 0.0, dumin / dus, jnp.inf))
+            theta = jnp.minimum(theta, jnp.where(gate, t, jnp.inf))
+        theta = jnp.minimum(theta, 1.0)
+
+        change = jnp.mean(theta, axis=0)          # src_mpi/limiter.cc:519-523
+        Dxn = cDx * theta
+        Dyn = cDy * theta
+        if char_lim:
+            Dxn = euler.to_conserved(R, Dxn)
+            Dyn = euler.to_conserved(R, Dyn)
+
+        u_lim = (ubar[:, None]
+                 + drx[None, :, None, None] * Dxn[:, None]
+                 + dry[None, :, None, None] * Dyn[:, None])
+        active = (marked > 1.0) & (change < 0.99)
+        return jnp.where(active[None, None], u_lim, u)
+
+    return limit

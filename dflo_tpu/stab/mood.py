@@ -1,0 +1,167 @@
+"""MOOD a posteriori stabilization as a masked dense fixed point.
+
+Re-implements the reference's MOOD cascade (src/mood.cc:1-491 pseudocode at
+1-34; driver iterate_mood, src/claw.cc:777-871) in the TPU-native form
+promised by SURVEY.md §7.1: instead of per-cell re-update lists and degree
+states driving sparse recomputation, every MOOD pass recomputes the forward-
+Euler candidate for ALL cells from the stage predictor with the current
+per-cell degree truncation (dense compute is cheap; divergence is expensive),
+inside a lax.while_loop that runs until no cell's degree changed.  This is
+semantically equivalent: the reference resets every re-updated cell to the
+stage predictor anyway (src/mood.cc:436-489), and untouched cells recompute
+to identical values.
+
+Per pass (apply_mood, src/mood.cc:290-400):
+- DMP check on the new density average against the neighborhood min/max of
+  the stage-predictor averages (+-1e-6, src/mood.cc:314-317).  NOTE the
+  reference's compute_min_max_mood_var (src/mood.cc:75-115) re-initializes
+  each cell's bounds after writing neighbor contributions, collapsing the
+  bounds to the cell's own average; we implement the intended neighborhood
+  min/max instead.
+- u2 smoothness exemption (Diot): second-derivative Legendre coefficients
+  sign-consistent and comparable across the neighborhood
+  (src/mood.cc:233-282, eps = 0.5).
+- failing cells with degree > 1 drop one degree (Pk modal truncation,
+  src/mood.cc:174-191); failing degree-1 cells switch on the TVB limiter
+  (src/mood.cc:335-340); failing degree-1 cells already marked spread the
+  reduction to their neighbors (src/mood.cc:341-394).
+
+MOOD requires the Pk basis and global time stepping (src/parameters.cc:536-544).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dflo_tpu.ops import basis as basis_mod
+from dflo_tpu.ops.contract import basis_reduce
+from dflo_tpu.physics import euler
+
+DMP_EPS = 1.0e-6     # src/mood.cc:296
+U2_EPS = 0.5         # src/mood.cc:271
+
+
+def neighborhood_min(a, valid):
+    vW, vE, vS, vN = valid
+    big = jnp.asarray(jnp.inf, a.dtype)
+    m = a
+    m = jnp.minimum(m, jnp.where(vW, jnp.roll(a, 1, -1), big))
+    m = jnp.minimum(m, jnp.where(vE, jnp.roll(a, -1, -1), big))
+    m = jnp.minimum(m, jnp.where(vS, jnp.roll(a, 1, -2), big))
+    m = jnp.minimum(m, jnp.where(vN, jnp.roll(a, -1, -2), big))
+    return m
+
+
+def neighborhood_max(a, valid):
+    vW, vE, vS, vN = valid
+    big = jnp.asarray(-jnp.inf, a.dtype)
+    m = a
+    m = jnp.maximum(m, jnp.where(vW, jnp.roll(a, 1, -1), big))
+    m = jnp.maximum(m, jnp.where(vE, jnp.roll(a, -1, -1), big))
+    m = jnp.maximum(m, jnp.where(vS, jnp.roll(a, 1, -2), big))
+    m = jnp.maximum(m, jnp.where(vN, jnp.roll(a, -1, -2), big))
+    return m
+
+
+def dilate4(flag):
+    """4-neighborhood dilation of a bool field (neighbor spreading)."""
+    out = flag
+    out = out | jnp.roll(flag, 1, -1) | jnp.roll(flag, -1, -1)
+    out = out | jnp.roll(flag, 1, -2) | jnp.roll(flag, -1, -2)
+    return out
+
+
+def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
+              per_y: bool = False, mask=None, dtype=None, max_iters: int = 20):
+    """Build mood_stage(u_pre, t, dt) -> (u_candidate, limiter_marked).
+
+    u_pre is the stage predictor; the returned candidate is the accepted
+    forward-Euler update u_pre + dt*R under the final degree map; marked
+    flags cells whose TVB limiter the cascade switched on."""
+    dtype = dtype or jnp.zeros(0).dtype
+    if basis.family != "Pk":
+        raise ValueError("MOOD is implemented only for Pk "
+                         "(src/parameters.cc:541-544)")
+    p = basis.degree
+    K = basis.K
+
+    from dflo_tpu.stab.limiter import neighbor_valid
+    valid = tuple(jnp.asarray(v) for v in
+                  neighbor_valid((mesh.ny, mesh.nx), per_x, per_y, mask))
+
+    # truncation masks: keep modes with total degree <= d  (src/mood.cc:174-191)
+    trunc = np.zeros((p + 1, K))
+    for d in range(p + 1):
+        trunc[d] = (basis.mode_degree <= d).astype(float)
+    trunc = jnp.asarray(trunc, dtype)
+    avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
+
+    # u2 second-derivative coefficient positions (src/mood.cc:215-231)
+    if p >= 2:
+        ix_xx, ix_yy = 2, 2 * p + 1
+
+    def u2_ok(u):
+        """Diot's u2 smoothness exemption on the density Legendre
+        coefficients (src/mood.cc:240-282)."""
+        if p < 2:
+            return jnp.zeros(u.shape[-2:], bool)
+        ok = jnp.ones(u.shape[-2:], bool)
+        for ix in (ix_xx, ix_yy):
+            D2 = u[euler.RHO, ix]
+            mn = neighborhood_min(D2, valid)
+            mx = neighborhood_max(D2, valid)
+            ok = ok & (mn * mx >= 0) \
+                & (jnp.abs(mn) >= jnp.abs(mx) * (1.0 - U2_EPS))
+        return ok
+
+    def mood_stage(u_pre, t, dt):
+        ubar0 = basis_reduce(avg_op, u_pre)
+        rho0 = ubar0[euler.RHO]
+        dmp_min = neighborhood_min(rho0, valid)
+        dmp_max = neighborhood_max(rho0, valid)
+
+        deg0 = jnp.full(u_pre.shape[-2:], p, jnp.int32)
+        lim0 = jnp.zeros(u_pre.shape[-2:], bool)
+
+        def candidate(deg):
+            tm = trunc[deg]                          # [ny, nx, K]
+            u_t = u_pre * jnp.moveaxis(tm, -1, 0)[None]
+            return u_t + dt * rhs(u_t, t)
+
+        def body(carry):
+            deg, lim, _, it, _ = carry
+            u_c = candidate(deg)
+            rho = basis_reduce(avg_op, u_c)[euler.RHO]
+            dmp = (rho - dmp_min > -DMP_EPS) & (rho - dmp_max < DMP_EPS)
+            ok = dmp | u2_ok(u_c)
+            fail = ~ok
+            if mask is not None:
+                fail = fail & jnp.asarray(mask)
+
+            red_self = fail & (deg > 1)
+            mark_self = fail & (deg == 1) & ~lim
+            spread = fail & (deg == 1) & lim
+            nb = dilate4(spread)
+            red_nb = nb & (deg > 1) & ~red_self
+            mark_nb = nb & (deg == 1) & ~lim & ~mark_self
+
+            deg_new = deg - (red_self | red_nb).astype(deg.dtype)
+            lim_new = lim | mark_self | mark_nb
+            changed = jnp.any(red_self | red_nb)
+            return (deg_new, lim_new, u_c, it + 1, changed)
+
+        def cond(carry):
+            _, _, _, it, changed = carry
+            return changed & (it < max_iters)
+
+        carry = (deg0, lim0, jnp.zeros_like(u_pre), jnp.asarray(0),
+                 jnp.asarray(True))
+        # each pass recomputes the candidate with the degrees as of pass
+        # entry; on exit with changed == False that candidate is consistent
+        # with the settled degree map, exactly the accepted MOOD state
+        deg, lim, u_c, it, changed = jax.lax.while_loop(cond, body, carry)
+        return u_c, lim
+
+    return mood_stage
