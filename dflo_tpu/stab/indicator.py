@@ -61,8 +61,10 @@ def make_shock_indicator(basis: basis_mod.Basis, mesh, kind: str = "density",
                 D2 = u[euler.RHO, ix]
                 mn = mood_mod.neighborhood_min(D2, valid)
                 mx = mood_mod.neighborhood_max(D2, valid)
-                ok = ok & (mn * mx >= 0) \
-                    & (jnp.abs(mn) >= jnp.abs(mx) * (1.0 - mood_mod.U2_EPS))
+                amn, amx = jnp.abs(mn), jnp.abs(mx)
+                flat = jnp.maximum(amn, amx) < mood_mod.U2_TINY
+                ok = ok & (flat | ((mn * mx >= 0)
+                                   & (amn >= amx * (1.0 - mood_mod.U2_EPS))))
             shock = jnp.where(ok, 0.0, 1e20).astype(dtype)
             return shock, jnp.zeros_like(shock)
         return u2_indicator

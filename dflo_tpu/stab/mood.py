@@ -41,6 +41,9 @@ from dflo_tpu.physics import euler
 
 DMP_EPS = 1.0e-6     # src/mood.cc:296
 U2_EPS = 0.5         # src/mood.cc:271
+U2_TINY = 1.0e-12    # absolute guard: curvatures at roundoff level count as
+                     # smooth (the raw Diot ratio test is sign-noise sensitive
+                     # on exactly-flat data; not in the reference)
 
 
 def neighborhood_min(a, valid):
@@ -112,8 +115,11 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
             D2 = u[euler.RHO, ix]
             mn = neighborhood_min(D2, valid)
             mx = neighborhood_max(D2, valid)
-            ok = ok & (mn * mx >= 0) \
-                & (jnp.abs(mn) >= jnp.abs(mx) * (1.0 - U2_EPS))
+            amn = jnp.abs(mn)
+            amx = jnp.abs(mx)
+            flat = jnp.maximum(amn, amx) < U2_TINY
+            ok = ok & (flat | ((mn * mx >= 0)
+                               & (amn >= amx * (1.0 - U2_EPS))))
         return ok
 
     def mood_stage(u_pre, t, dt):
