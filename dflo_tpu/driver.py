@@ -47,7 +47,8 @@ class Solver:
                  solid_state=(0.0, 0.0, 1.0, 2.5), dtype=None,
                  well_balanced: str | None = None, potential=None,
                  polytropic_nu: float = 1.2, mass_matrix: str = "diagonal",
-                 method: str = "rk"):
+                 method: str = "rk", theta: float = 1.0,
+                 max_nonlin_iter: int = 1, linear_residual: float = 1e-4):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -98,6 +99,11 @@ class Solver:
             from dflo_tpu.stab.mood import make_mood
             self._mood_stage = make_mood(basis, mesh, self.rhs, per_x, per_y,
                                          mask=mask, dtype=dtype)
+        elif method == "implicit":
+            from dflo_tpu.solver.implicit import make_implicit_step
+            self._implicit_step = make_implicit_step(
+                self.rhs, theta=theta, max_newton=max_nonlin_iter,
+                lin_tol=linear_residual)
         elif method != "rk":
             raise ValueError(f"unknown solver method {method!r}")
         self._step = jax.jit(self._make_step())
@@ -166,6 +172,9 @@ class Solver:
             dt = jnp.minimum(dt, t_end - t)
             if self.method == "mood":
                 u = self._mood_rk_step(u, t, dt)
+            elif self.method == "implicit":
+                u, _res = self._implicit_step(u, t, dt)
+                u = self.post_stage(u, t + dt)
             else:
                 u = rk_mod.ssp_rk_step(self.rhs, u, t, dt, self.ark,
                                        self.stage_times,
