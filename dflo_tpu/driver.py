@@ -48,7 +48,8 @@ class Solver:
                  well_balanced: str | None = None, potential=None,
                  polytropic_nu: float = 1.2, mass_matrix: str = "diagonal",
                  method: str = "rk", theta: float = 1.0,
-                 max_nonlin_iter: int = 1, linear_residual: float = 1e-4):
+                 max_nonlin_iter: int = 1, linear_residual: float = 1e-4,
+                 gmres_restart: int = 30, gmres_maxiter: int = 10):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -64,17 +65,33 @@ class Solver:
             self._u_solid = jnp.asarray(solid_state, dtype)[:, None, None, None]
         per_x = getattr(bcs["W"], "kind", None) == euler.BC_PERIODIC
         per_y = getattr(bcs["S"], "kind", None) == euler.BC_PERIODIC
-        self.rhs = make_rhs(basis, mesh, bcs, flux=flux, source=source,
-                            mask=mask, dtype=dtype,
-                            well_balanced=well_balanced, potential=potential,
-                            polytropic_nu=polytropic_nu,
-                            mass_matrix=mass_matrix)
+        # curvilinear blocks (mapping = q1) carry per-cell metric terms
+        self.curvilinear = hasattr(mesh, "metric")
+        if self.curvilinear:
+            from dflo_tpu.solver.spatial_curvi import make_rhs_curvilinear
+            if self.limiter_cfg.type not in ("none",):
+                raise ValueError(
+                    "slope limiters require the cartesian mapping "
+                    "(src/parameters.cc:545-546); curvilinear runs use "
+                    "positivity and/or the implicit path")
+            if mask is not None or well_balanced is not None:
+                raise ValueError("masks / well-balanced gravity are "
+                                 "Cartesian-path features")
+            self.rhs = make_rhs_curvilinear(basis, mesh, bcs, flux=flux,
+                                            source=source, dtype=dtype)
+        else:
+            self.rhs = make_rhs(basis, mesh, bcs, flux=flux, source=source,
+                                mask=mask, dtype=dtype,
+                                well_balanced=well_balanced,
+                                potential=potential,
+                                polytropic_nu=polytropic_nu,
+                                mass_matrix=mass_matrix)
         self.avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
 
         cfg = self.limiter_cfg
-        self._indicator = make_shock_indicator(
+        self._indicator = (make_shock_indicator(
             basis, mesh, cfg.shock_indicator, per_x, per_y, dtype, mask=mask,
-            rhs=self.rhs)
+            rhs=self.rhs) if not self.curvilinear else None)
         if cfg.type == "TVB":
             self._limit = make_tvb_limiter(
                 basis, mesh, M=cfg.M, beta=cfg.beta, char_lim=cfg.char_lim,
@@ -103,13 +120,16 @@ class Solver:
             from dflo_tpu.solver.implicit import make_implicit_step
             self._implicit_step = make_implicit_step(
                 self.rhs, theta=theta, max_newton=max_nonlin_iter,
-                lin_tol=linear_residual)
+                lin_tol=linear_residual, gmres_restart=gmres_restart,
+                gmres_maxiter=gmres_maxiter)
         elif method != "rk":
             raise ValueError(f"unknown solver method {method!r}")
         self._step = jax.jit(self._make_step())
 
     # ------------------------------------------------------------------
     def cell_averages(self, u):
+        if self.curvilinear:
+            return self.rhs.cell_averages(u)   # metric-weighted means
         from dflo_tpu.ops.contract import basis_reduce
         return basis_reduce(self.avg_op, u)
 
@@ -167,8 +187,13 @@ class Solver:
                     u, cell_sharding(self.device_mesh))
             ubar = self.cell_averages(u)
             fm = self._fmask if self.mask is not None else None
-            dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree,
-                                   self.cfl, mask=fm)
+            if self.curvilinear:
+                from dflo_tpu.solver.spatial_curvi import compute_dt_curvilinear
+                dt = compute_dt_curvilinear(ubar, self.mesh,
+                                            self.basis.degree, self.cfl)
+            else:
+                dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree,
+                                       self.cfl, mask=fm)
             dt = jnp.minimum(dt, t_end - t)
             if self.method == "mood":
                 u = self._mood_rk_step(u, t, dt)

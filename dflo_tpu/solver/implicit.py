@@ -80,10 +80,19 @@ def run_steady(solver, u, cfl0: float | None = None,
     history = []
     step = solver._implicit_step
 
+    curvi = getattr(solver, "curvilinear", False)
+    if curvi:
+        h_field = jnp.asarray(solver.mesh.cell_h())
+
     @jax.jit
     def one(u, cfl):
         ubar = solver.cell_averages(u)
-        dtc = rk_mod.local_dt(ubar, solver.mesh, solver.basis.degree, 1.0)
+        if curvi:
+            from dflo_tpu.physics import euler as _euler
+            lam = _euler.max_eigenvalue(ubar)
+            dtc = h_field / lam / (2.0 * solver.basis.degree + 1.0)
+        else:
+            dtc = rk_mod.local_dt(ubar, solver.mesh, solver.basis.degree, 1.0)
         u_new, _newton_res = step(u, 0.0, dtc * cfl)
         u_new = solver.post_stage(u_new)
         # convergence is measured on the SPATIAL residual ||R(u)||, the
