@@ -108,6 +108,11 @@ def write_vtu(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
         a = np.asarray(arr)[iy, ix]
         cell_fields[name] = np.repeat(a, p * p)
 
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # fast path: native appended-binary writer (native/dflo_native.cc)
+    from dflo_tpu import native as native_mod
+    if native_mod.vtu_write(path, pts, conn, fields, cell_fields, t):
+        return
     _write_vtu_file(path, pts, conn, fields, cell_fields, t)
 
 

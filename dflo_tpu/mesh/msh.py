@@ -118,13 +118,10 @@ def rasterize_msh(nodes, quads, blines, tol=1e-9) -> RasterizedDomain:
 
 
 def load_msh(path: str) -> RasterizedDomain:
-    try:
-        from dflo_tpu.mesh import msh_native
-        parsed = msh_native.parse_file(path)
-        if parsed is not None:
-            return rasterize_msh(*parsed)
-    except ImportError:
-        pass
+    from dflo_tpu import native
+    parsed = native.msh_parse(path)
+    if parsed is not None:
+        return rasterize_msh(*parsed)
     with open(path) as f:
         return rasterize_msh(*parse_msh(f.read()))
 
