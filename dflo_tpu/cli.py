@@ -21,7 +21,7 @@ from dflo_tpu import ic as ic_mod
 from dflo_tpu.config.params import AllParameters
 from dflo_tpu.diagnostics import angular_momentum
 from dflo_tpu.driver import LimiterConfig, Solver
-from dflo_tpu.io.vtk import write_vtu
+from dflo_tpu.io.vtk import write_tecplot, write_vtu
 from dflo_tpu.io.checkpoint import save_checkpoint, load_checkpoint
 from dflo_tpu.mesh import CartesianMesh
 from dflo_tpu.physics import euler
@@ -36,7 +36,13 @@ def build_domain(params: AllParameters, prm_dir: str = "."):
         side_bids = {"W": np.full(cm.ny, 4), "E": np.full(cm.ny, 2),
                      "S": np.full(cm.nx, 1), "N": np.full(cm.nx, 3)}
         # native meshes use the Gmsh-free convention S=1,E=2,N=3,W=4
-        return mesh, None, side_bids
+        mask = None
+        if cm.solid is not None:
+            xc, yc = mesh.cell_centers()
+            import jax.numpy as jnp
+            mask = ~np.asarray(cm.solid(jnp.asarray(xc), jnp.asarray(yc)),
+                               bool)
+        return mesh, mask, side_bids
     path = os.path.join(prm_dir, params.mesh_filename)
     if not os.path.exists(path):
         # the reference ships .geo generators, not .msh files; fall back
@@ -49,6 +55,14 @@ def build_domain(params: AllParameters, prm_dir: str = "."):
             raise FileNotFoundError(
                 f"mesh file {params.mesh_filename!r} not found "
                 f"(src/claw.cc:961 fatal)")
+    if path.endswith(".struct"):
+        # structured O-mesh (naca.struct): wrap-periodic in xi, airfoil at
+        # eta=0 (boundary id 0), farfield at eta=max (boundary id 1)
+        from dflo_tpu.mesh.curvilinear import load_struct
+        cmesh = load_struct(path)
+        side_bids = {"W": np.full(cmesh.ny, -2), "E": np.full(cmesh.ny, -2),
+                     "S": np.full(cmesh.nx, 0), "N": np.full(cmesh.nx, 1)}
+        return cmesh, None, side_bids
     if path.endswith(".geo"):
         from dflo_tpu.mesh.geo import load_geo
         dom = load_geo(path)
@@ -67,7 +81,9 @@ def build_bcs(params: AllParameters, side_bids: dict):
         segs, seg_of = [], {}
         for b in uniq:
             spec = params.boundary_conditions.get(b)
-            if b < 0 or spec is None:
+            if b == -2:
+                segs.append(BoundarySide(euler.BC_PERIODIC))  # O-mesh wrap
+            elif b < 0 or spec is None:
                 segs.append(wall)          # bbox edge behind solid region
             else:
                 segs.append(BoundarySide(spec.kind, spec.values))
@@ -84,6 +100,18 @@ def build_ic(params: AllParameters):
     if params.ic_function in ic_mod.IC_FUNCTIONS:
         return ic_mod.IC_FUNCTIONS[params.ic_function](params)
     return params.initial_conditions
+
+
+def set_ic(params: AllParameters, solver):
+    """Initial state incl. the cell-centered setter family
+    (src_gll/ic.cc:226-345)."""
+    if params.ic_function in ic_mod.IC_CELLWISE:
+        fn = ic_mod.IC_CELLWISE[params.ic_function](params)
+        return solver.apply_mask(ic_mod.set_initial_condition_cellcentered(
+            solver.basis, solver.mesh, fn))
+    fn = build_ic(params)
+    return solver.apply_mask(ic_mod.set_initial_condition(
+        solver.basis, solver.mesh, fn))
 
 
 def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
@@ -108,16 +136,33 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
         def source(x, y, t, W):  # noqa: F811  (src/equation.h:829-850)
             return euler.forcing_gravity(W, (0.0, -g))
 
+    if params.external_force is not None and source is None:
+        ef = params.external_force
+
+        def source(x, y, t, W):  # noqa: F811 (src_mpi/equation.h:1186-1202)
+            fx, fy = ef(x, y, t)
+            return euler.forcing_external(W, fx, fy)
+
     well_balanced = None
     if params.potential is not None:
         well_balanced = params.well_balanced
 
-    method = "mood" if params.solver.method == "mood" else "rk"
+    if params.solver.method == "mood":
+        method = "mood"
+    elif params.solver.implicit:
+        method = "implicit"
+    else:
+        method = "rk"
+    fixed_dt = params.time_step if (params.cfl <= 0 and params.time_step > 0
+                                    and not params.is_stationary) else None
     solver = Solver(basis, mesh, bcs, flux=params.flux.flux, limiter=lim,
                     source=source, cfl=params.cfl, mask=mask,
                     device_mesh=device_mesh, method=method,
                     well_balanced=well_balanced, potential=params.potential,
-                    mass_matrix=params.mass_matrix)
+                    mass_matrix=params.mass_matrix, theta=params.theta,
+                    max_nonlin_iter=params.max_nonlin_iter,
+                    linear_residual=params.solver.linear_residual,
+                    fixed_time_step=fixed_dt)
     return solver, mask
 
 
@@ -144,15 +189,17 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     t_wall = time.time()
+    from dflo_tpu.utils.profiling import Timer
+    timer = Timer()
     params = AllParameters.from_prm_file(args.prm)
     prm_dir = os.path.dirname(os.path.abspath(args.prm))
-    solver, mask = build_solver(params, prm_dir)
+    with timer("Setup"):
+        solver, mask = build_solver(params, prm_dir)
     basis, mesh = solver.basis, solver.mesh
     print(f"dflo_tpu: {basis.family}{basis.degree}, mesh {mesh.nx}x{mesh.ny}, "
           f"flux={params.flux.flux}, limiter={params.limiter.type}")
 
-    fn = build_ic(params)
-    u = solver.apply_mask(ic_mod.set_initial_condition(basis, mesh, fn))
+    u = set_ic(params, solver)
     t0, it0 = 0.0, 0
     if args.resume:
         u, t0, it0, _ = load_checkpoint(args.resume, basis=basis, mesh=mesh)
@@ -164,9 +211,16 @@ def main(argv=None):
     snap = [0]
 
     def write_snapshot(u, t):
-        path = os.path.join(args.output_dir, f"solution-{snap[0]:03d}.vtu")
-        write_vtu(path, basis, mesh, np.asarray(u), t=t,
-                  schlieren=params.output.schlieren_plot, mask=mask)
+        with timer("Output"):
+            if params.output.format == "tecplot":
+                path = os.path.join(args.output_dir,
+                                    f"solution-{snap[0]:03d}.plt")
+                write_tecplot(path, basis, mesh, np.asarray(u), t=t, mask=mask)
+            else:
+                path = os.path.join(args.output_dir,
+                                    f"solution-{snap[0]:03d}.vtu")
+                write_vtu(path, basis, mesh, np.asarray(u), t=t,
+                          schlieren=params.output.schlieren_plot, mask=mask)
         if args.checkpoint_every and snap[0] % args.checkpoint_every == 0:
             save_checkpoint(os.path.join(args.output_dir,
                                          f"checkpoint-{snap[0]:03d}.npz"),
@@ -184,8 +238,21 @@ def main(argv=None):
             am = float(angular_momentum(basis, mesh, u, mask))
             print(f"Total angular momentum: {t:18.8e} {am:24.14e}")
 
-    u, t, it = solver.run(u, t_end, t0=t0, callback=callback)
+    with timer("Time loop"):
+        if params.is_stationary and solver.method == "implicit":
+            # pseudo-transient steady solve (naca0012 m063.prm workflow)
+            from dflo_tpu.solver.implicit import run_steady
+            u, hist = run_steady(
+                solver, u, cfl0=params.cfl,
+                min_residual=params.min_residual or 1e-10,
+                max_steps=100000, verbose=True)
+            t, it = t0, len(hist)
+        else:
+            u, t, it = solver.run(u, t_end, t0=t0, callback=callback)
+        import jax as _jax
+        _jax.block_until_ready(u)
     write_snapshot(u, t)
+    print(timer.summary())
     print(f"steps={it}  final t={t:.6f}  wall={time.time() - t_wall:.1f}s")
     return 0
 

@@ -117,13 +117,16 @@ _BC_KINDS = {
 class CartesianMeshParams:
     """Our native mesh spec (extension subsection 'cartesian mesh'):
     reference runs always go through Gmsh files; the TPU build can also
-    construct the block mesh directly."""
+    construct the block mesh directly.  `solid` is an optional x,y expression
+    marking obstacle cells (rasterized forward_step-style domains without a
+    mesh file)."""
     nx: int = 0
     ny: int = 0
     x0: float = 0.0
     x1: float = 1.0
     y0: float = 0.0
     y1: float = 1.0
+    solid: Callable | None = None
 
 
 @dataclasses.dataclass
@@ -138,6 +141,8 @@ class AllParameters:
     diffusion_coef: float = 0.0
     gravity: float = 0.0
     potential: Callable | None = None      # src_gll/parameters.cc:358
+    external_force: Callable | None = None  # f(x,y,t) -> (fx, fy)
+                                            # (src_mpi/parameters.cc:488-497)
     mass_matrix: str = "diagonal"          # src_gll/parameters.cc:342
     well_balanced: str = "isothermal"      # which src_gll gravity form is
                                            # active when a potential is set
@@ -192,6 +197,12 @@ class AllParameters:
         pot = take(d, "potential")
         if pot is not None:
             p.potential = compile_expression(pot, ("x", "y"))
+        f0 = take(d, "f_0 value")
+        f1 = take(d, "f_1 value")
+        if f0 is not None or f1 is not None:
+            fx = compile_expression(f0 or "0.0")
+            fy = compile_expression(f1 or "0.0")
+            p.external_force = lambda x, y, t: (fx(x, y, t), fy(x, y, t))
         p.mass_matrix = take(d, "mass matrix", p.mass_matrix)
         p.well_balanced = take(d, "well balanced", p.well_balanced)
 
@@ -298,10 +309,13 @@ class AllParameters:
 
         cm = take(d, "cartesian mesh", None)
         if cm is not None:
+            solid = take(cm, "solid")
             p.cartesian_mesh = CartesianMeshParams(
                 nx=int(take(cm, "nx", "0")), ny=int(take(cm, "ny", "0")),
                 x0=float(take(cm, "x0", "0")), x1=float(take(cm, "x1", "1")),
-                y0=float(take(cm, "y0", "0")), y1=float(take(cm, "y1", "1")))
+                y0=float(take(cm, "y0", "0")), y1=float(take(cm, "y1", "1")),
+                solid=(compile_expression(solid, ("x", "y"))
+                       if solid is not None else None))
             if cm:
                 raise ValueError(f"unknown 'cartesian mesh' keys: {sorted(cm)}")
 

@@ -49,11 +49,13 @@ class Solver:
                  polytropic_nu: float = 1.2, mass_matrix: str = "diagonal",
                  method: str = "rk", theta: float = 1.0,
                  max_nonlin_iter: int = 1, linear_residual: float = 1e-4,
-                 gmres_restart: int = 30, gmres_maxiter: int = 10):
+                 gmres_restart: int = 30, gmres_maxiter: int = 10,
+                 fixed_time_step: float | None = None):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
         self.cfl = cfl
+        self.fixed_time_step = fixed_time_step
         self.device_mesh = device_mesh
         self.limiter_cfg = limiter or LimiterConfig()
         dtype = dtype or jnp.zeros(0).dtype
@@ -187,7 +189,10 @@ class Solver:
                     u, cell_sharding(self.device_mesh))
             ubar = self.cell_averages(u)
             fm = self._fmask if self.mask is not None else None
-            if self.curvilinear:
+            if self.fixed_time_step is not None:
+                # `set time step = ...` with cfl <= 0 (src/claw.cc:455-459)
+                dt = jnp.asarray(self.fixed_time_step, u.dtype)
+            elif self.curvilinear:
                 from dflo_tpu.solver.spatial_curvi import compute_dt_curvilinear
                 dt = compute_dt_curvilinear(ubar, self.mesh,
                                             self.basis.degree, self.cfl)

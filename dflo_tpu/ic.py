@@ -175,6 +175,70 @@ def unsteady_gravity(u0: float = 1.0, v0: float = 1.0, p0: float = 4.5):
     return fn
 
 
+def keplerian_disk(r0: float = 0.5, r1: float = 2.0, rs: float = 0.01,
+                   rho_out: float = 1.0e-6, rho_disk: float = 1.0,
+                   p0: float = 1.0e-6):
+    """Rotating Keplerian disk (src_mpi/ic.h:95-115, src_mpi/ic.cc:103-130;
+    the reference marks it TO BE COMPLETED — we keep its declared
+    parameters and v_theta = 1/sqrt(r) profile)."""
+
+    def fn(x, y, t=0.0):
+        r = jnp.sqrt(x * x + y * y)
+        vtheta = 1.0 / jnp.sqrt(r)
+        vex = -vtheta * y / r
+        vey = vtheta * x / r
+        rho = jnp.where((r < r0 - rs) | (r > r1 + rs), rho_out, rho_disk)
+        return jnp.stack([rho * vex, rho * vey, rho,
+                          p0 / (GAMMA - 1.0) + 0.5 * rho * (vex**2 + vey**2)])
+
+    return fn
+
+
+def set_initial_condition_cellcentered(basis, mesh, fn, t: float = 0.0,
+                                       dtype=None):
+    """Nodal interpolation where the IC may branch on the CELL CENTER —
+    the src_gll programmatic setters place density jumps cell-wise to avoid
+    straddling an interface (set_initial_condition_Rayleigh_Taylor /
+    _shocktube, src_gll/ic.cc:226-345).
+
+    fn(x, y, xc, yc, t) -> [4, ...] with nodal (x, y) and per-cell (xc, yc).
+    """
+    dtype = dtype or jnp.zeros(0).dtype
+    xn, yn = mesh.point_coords(basis.nodes)
+    xc, yc = mesh.cell_centers()
+    u = fn(jnp.asarray(xn, dtype), jnp.asarray(yn, dtype),
+           jnp.asarray(xc, dtype)[None], jnp.asarray(yc, dtype)[None], t)
+    return jnp.asarray(u, dtype)
+
+
+def rayleigh_taylor_gll(gravity: float = 1.0, eta: float = 0.01, P0: float = 2.5):
+    """src_gll RT setter (src_gll/ic.cc:226-284): cell-centered density jump
+    (1 below, 2 above y=0), hydrostatic pressure from the pointwise y, and a
+    localized y-velocity perturbation eta*sin(4 pi x)*exp(-50 y^2)."""
+
+    def fn(x, y, xc, yc, t=0.0):
+        rho = jnp.where(yc < 0.0, 1.0, 2.0) * jnp.ones_like(y)
+        pre = P0 - gravity * jnp.where(y < 0.0, y, 2.0 * y)
+        v = eta * jnp.sin(4.0 * jnp.pi * x) * jnp.exp(-50.0 * y * y)
+        return jnp.stack([jnp.zeros_like(x), rho * v, rho,
+                          pre / (GAMMA - 1.0) + 0.5 * rho * v * v])
+
+    return fn
+
+
+def shocktube_gll():
+    """src_gll Sod setter with the cell-centered jump
+    (set_initial_condition_shocktube, src_gll/ic.cc:289-345)."""
+
+    def fn(x, y, xc, yc, t=0.0):
+        rho = jnp.where(xc < 0.5, 1.0, 0.125) * jnp.ones_like(x)
+        E = jnp.where(xc < 0.5, 2.5, 0.25) * jnp.ones_like(x)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, E])
+
+    return fn
+
+
 IC_FUNCTIONS = {
     # names match the reference's ic_function dispatch
     # (src/ic.cc:104-121, src_gll/ic.cc:354-377)
@@ -185,6 +249,15 @@ IC_FUNCTIONS = {
     "rrt": lambda params=None: radial_rayleigh_taylor(),
     "isohydro": lambda params=None: isothermal_hydrostatic(),
     "polyhydro": lambda params=None: polytropic_hydrostatic(1.2),
+    "keplerian": lambda params=None: keplerian_disk(),
+}
+
+# setters that branch on cell centers (go through
+# set_initial_condition_cellcentered; src_gll/ic.cc:226-345)
+IC_CELLWISE = {
+    "shocktube": lambda params=None: shocktube_gll(),
+    "rt_gll": lambda params=None: rayleigh_taylor_gll(
+        getattr(params, "gravity", 1.0) if params is not None else 1.0),
 }
 
 

@@ -116,6 +116,49 @@ def write_vtu(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
     _write_vtu_file(path, pts, conn, fields, cell_fields, t)
 
 
+def write_tecplot(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
+                  mask=None):
+    """ASCII Tecplot FEQUADRILATERAL zone (`format = tecplot`,
+    src/parameters.cc:273-275): same per-cell patch layout as the VTU path."""
+    import numpy as _np
+    u = _np.asarray(u)
+    p = basis.degree
+    ny, nx = u.shape[-2:]
+    nodes = _patch_nodes(p)
+    m = _np.ones((ny, nx), bool) if mask is None else _np.asarray(mask, bool)
+    E = basis.eval_at(nodes)
+    vals = np.asarray(basis_apply(E, u))
+    xn, yn = mesh.point_coords(nodes)
+    iy, ix = np.nonzero(m)
+    ncell = len(iy)
+    M = len(nodes)
+    vx, vy, pr = derived_fields(vals)
+
+    def gather(field):
+        return field[:, iy, ix].T.ravel()
+
+    cols = [gather(np.broadcast_to(xn, vals.shape[1:])),
+            gather(np.broadcast_to(yn, vals.shape[1:])),
+            gather(vals[euler.RHO]), gather(vx), gather(vy), gather(pr),
+            gather(vals[euler.ENE])]
+    n1 = p + 1
+    sub = np.array([[j * n1 + i, j * n1 + i + 1,
+                     (j + 1) * n1 + i + 1, (j + 1) * n1 + i]
+                    for j in range(p) for i in range(p)])
+    conn = (np.arange(ncell)[:, None, None] * M + sub[None]).reshape(-1, 4) + 1
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write('TITLE = "dflo_tpu solution"\n')
+        f.write('VARIABLES = "x" "y" "Density" "XVelocity" "YVelocity" '
+                '"Pressure" "Energy"\n')
+        f.write(f'ZONE T="t={t}", N={ncell * M}, E={len(conn)}, '
+                f'DATAPACKING=POINT, ZONETYPE=FEQUADRILATERAL, '
+                f'SOLUTIONTIME={t}\n')
+        np.savetxt(f, np.stack(cols, axis=1), fmt="%.10g")
+        np.savetxt(f, conn, fmt="%d")
+
+
 def _write_vtu_file(path, pts, conn, point_fields, cell_fields, t):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     ncells = len(conn)

@@ -166,6 +166,14 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     faceV = [cast(basis.faceV[f]) for f in range(4)]
     faceVw = [cast(basis.wq[:, None] * basis.faceV[f]) for f in range(4)]
     avg_op = cast(basis.wq2 @ basis.V)
+    nq = basis.nq
+    # stacked trace+average operator [4*nq+1, K] and dual-direction volume
+    # lift [K, 2Q] (single-pass contractions; see rhs body)
+    trace_stack = jnp.concatenate(
+        [faceV[WEST], faceV[EAST], faceV[SOUTH], faceV[NORTH],
+         avg_op[None, :]], axis=0)
+    lift_stack = jnp.concatenate(
+        [mesh.dy * GxW.T, mesh.dx * GyW.T], axis=1)
     minv = cast(1.0 / basis.mass)
     if mass_matrix == "full":
         minv_full = cast(np.linalg.inv(basis.mass_full))
@@ -237,11 +245,19 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         Fx = euler.flux_x(W)
         Fy = euler.flux_y(W)
 
-        # ---- cell averages (LF/KEP dissipation states, src/claw.h:338) ---
-        ub = basis_reduce(avg_op, u)
+        # ---- traces + cell averages in ONE contraction -------------------
+        # the four face-trace operators and the averaging row are stacked so
+        # the state array streams from HBM once instead of five times
+        TR = basis_apply(trace_stack, u)     # [4, 4*nq+1, ny, nx]
+        uW = TR[:, 0 * nq:1 * nq]
+        uE = TR[:, 1 * nq:2 * nq]
+        uS = TR[:, 2 * nq:3 * nq]
+        uN = TR[:, 3 * nq:4 * nq]
+        ub = TR[:, 4 * nq]
 
         # ---- volume term: + int F . grad(phi) dV -------------------------
-        R = dy * basis_apply(GxW.T, Fx) + dx * basis_apply(GyW.T, Fy)
+        # both direction lifts as one matmul over the stacked flux array
+        R = basis_apply(lift_stack, jnp.concatenate([Fx, Fy], axis=1))
 
         # ---- source terms ------------------------------------------------
         if source is not None:
@@ -279,12 +295,6 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
             SE = (W[euler.MX] * Sx + W[euler.MY] * Sy) / W[euler.RHO]
             S = jnp.stack([Sx, Sy, jnp.zeros_like(Sx), SE])
             R = R + area * basis_apply(Vw.T, S)
-
-        # ---- face traces -------------------------------------------------
-        uW = basis_apply(faceV[WEST], u)
-        uE = basis_apply(faceV[EAST], u)
-        uS = basis_apply(faceV[SOUTH], u)
-        uN = basis_apply(faceV[NORTH], u)
 
         # ---- x-direction interfaces (normal +x), nx+1 slots ---------------
         FL, FR = uE[..., :-1], uW[..., 1:]

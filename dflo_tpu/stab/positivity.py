@@ -69,7 +69,11 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
         u = scale_about_avg(u, ubar, theta1, comps=(euler.RHO,))
 
         # ---- pressure pass (src/positivity.cc:113-182) --------------------
-        W = basis_apply(P, u)
+        # only density changed, and the squeeze acts identically on point
+        # values: update W's density row analytically instead of re-applying
+        # the evaluation matrix (saves one full contraction per stage)
+        W = W.at[euler.RHO].set(W[euler.RHO] * theta1[None]
+                                + rho_avg[None] * (1.0 - theta1[None]))
         pre = euler.pressure(W)
         d = W - ubar[:, None]                          # deviations from avg
         drho, dE = d[euler.RHO], d[euler.ENE]

@@ -29,8 +29,9 @@ def test_cli_sod_reference_config(tmp_path):
     assert rc == 0
     vtus = sorted(p for p in os.listdir(tmp_path) if p.endswith(".vtu"))
     assert len(vtus) >= 2
-    txt = (tmp_path / vtus[-1]).read_text()
-    assert "Density" in txt and "Pressure" in txt and "schlieren_plot" in txt
+    raw = (tmp_path / vtus[-1]).read_bytes()   # native writer emits binary
+    assert b"Density" in raw and b"Pressure" in raw \
+        and b"schlieren_plot" in raw
 
 
 def test_cli_forward_step_masked_geo(tmp_path):

@@ -92,9 +92,13 @@ def test_double_mach_segmented_bottom():
                E=BoundarySide(euler.BC_OUTFLOW),
                S=bottom,
                N=BoundarySide(euler.BC_FARFIELD, shock_top))
-    lim = LimiterConfig(type="TVB", shock_indicator="limiter", beta=2.0,
+    # beta = 1 (more dissipative limiting) like the reference's DMR config
+    # (examples/double_mach_reflection/input.prm uses M=100, beta=1); at
+    # Mach 10 the Zhang-Shu check points do not cover the volume Gauss nodes,
+    # so aggressive slopes can still produce inadmissible flux evaluations
+    lim = LimiterConfig(type="TVB", shock_indicator="limiter", beta=1.0,
                         char_lim=True, pos_lim=True)
-    s = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5)
+    s = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.4)
 
     def dmr_ic(x, y, t=0.0):
         return shock_top(x, y, 0.0)
