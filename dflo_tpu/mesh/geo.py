@@ -224,6 +224,108 @@ def rasterize(model: GeoModel, tol: float = 1e-9) -> RasterizedDomain:
                             periodic_x=per_x, periodic_y=per_y)
 
 
-def load_geo(path: str) -> RasterizedDomain:
+def to_curvilinear(model: GeoModel, tol: float = 1e-9):
+    """Interpret a left-to-right CHAIN of straight-edged transfinite quads
+    (compression_corner/corner.geo: a rectangle + a ramp block sharing a
+    vertical edge) as ONE curvilinear block via transfinite interpolation.
+
+    Returns (CurvilinearMesh, side_bids) with the same side-id conventions
+    as RasterizedDomain."""
+    import numpy as _np
+    from dflo_tpu.mesh.curvilinear import CurvilinearMesh
+
+    blocks = []
+    for loop in model.surfaces:
+        pts = []
+        for lid in loop:
+            a, b = model.lines[abs(lid)]
+            if lid < 0:
+                a, b = b, a
+            pts.append(a)
+        if len(pts) != 4:
+            raise ValueError("loops must have 4 edges")
+        P = _np.array([model.points[p] for p in pts])    # ordered loop corners
+        # force counter-clockwise orientation (signed area > 0)
+        def cr(a, b):
+            return float(a[0] * b[1] - a[1] * b[0])
+        area2 = cr(P[1] - P[0], P[2] - P[0]) + cr(P[2] - P[0], P[3] - P[0])
+        if area2 < 0:
+            pts = pts[::-1]
+            P = P[::-1]
+        # rotate so corner 0 is bottom-left (min x+y)
+        k = int(_np.argmin(P[:, 0] + P[:, 1]))
+        pts = pts[k:] + pts[:k]
+        P = _np.vstack([P[k:], P[:k]])
+        # counts along the two directions from the transfinite line specs
+        def count(a, b):
+            for lid, (p, q) in model.lines.items():
+                if {p, q} == {a, b} and lid in model.transfinite:
+                    return model.transfinite[lid]
+            raise ValueError("missing transfinite count")
+        n_b = count(pts[0], pts[1])      # bottom edge (xi)
+        n_r = count(pts[1], pts[2])      # right edge (eta)
+        blocks.append((P, n_b, n_r))
+
+    # order blocks left -> right, verify shared vertical edges / eta counts
+    blocks.sort(key=lambda blk: blk[0][:, 0].min())
+    n_eta = {b[2] for b in blocks}
+    if len(n_eta) != 1:
+        raise ValueError("chained blocks need a common vertical point count")
+    n_eta = n_eta.pop()
+
+    cols = []
+    for bi, (P, n_b, _) in enumerate(blocks):
+        xi = _np.linspace(0.0, 1.0, n_b)[None, :, None]
+        eta = _np.linspace(0.0, 1.0, n_eta)[:, None, None]
+        # bilinear transfinite blend of the 4 straight edges
+        X = ((1 - xi) * (1 - eta) * P[0] + xi * (1 - eta) * P[1]
+             + xi * eta * P[2] + (1 - xi) * eta * P[3])
+        if bi > 0:
+            if not _np.allclose(X[:, 0], cols[-1][:, -1], atol=1e-8):
+                raise ValueError("blocks do not chain along x")
+            X = X[:, 1:]
+        cols.append(X)
+    XY = _np.concatenate(cols, axis=1)
+    mesh = CurvilinearMesh(XY[..., 0].copy(), XY[..., 1].copy())
+
+    # boundary ids: match each boundary cell edge's midpoint to a physical line
+    def seg_bid(p0, p1):
+        mid = 0.5 * (_np.asarray(p0) + _np.asarray(p1))
+        for bid, lids in model.physical_lines.items():
+            for lid in lids:
+                a, b = model.lines[lid]
+                A = _np.array(model.points[a])
+                B = _np.array(model.points[b])
+                t = B - A
+                L2 = t @ t
+                s = _np.clip(((mid - A) @ t) / L2, 0.0, 1.0)
+                if _np.hypot(*(A + s * t - mid)) < 1e-8:
+                    return bid
+        return -1
+
+    X, Y = mesh.X, mesh.Y
+    side_bids = {
+        "S": _np.array([seg_bid((X[0, i], Y[0, i]), (X[0, i + 1], Y[0, i + 1]))
+                        for i in range(mesh.nx)]),
+        "N": _np.array([seg_bid((X[-1, i], Y[-1, i]), (X[-1, i + 1], Y[-1, i + 1]))
+                        for i in range(mesh.nx)]),
+        "W": _np.array([seg_bid((X[j, 0], Y[j, 0]), (X[j + 1, 0], Y[j + 1, 0]))
+                        for j in range(mesh.ny)]),
+        "E": _np.array([seg_bid((X[j, -1], Y[j, -1]), (X[j + 1, -1], Y[j + 1, -1]))
+                        for j in range(mesh.ny)]),
+    }
+    return mesh, side_bids
+
+
+def load_geo(path: str):
+    """Rasterized Cartesian domain, or a curvilinear chain when the blocks
+    are not axis-aligned (compression_corner)."""
     with open(path) as f:
-        return rasterize(parse_geo(f.read()))
+        model = parse_geo(f.read())
+    try:
+        return rasterize(model)
+    except ValueError as e:
+        if "non-axis-aligned" not in str(e):
+            raise
+        mesh, side_bids = to_curvilinear(model)
+        return RasterizedDomain(mesh=mesh, mask=None, side_bids=side_bids)

@@ -1,0 +1,76 @@
+"""Compression corner (examples/compression_corner): slanted transfinite
+blocks ingest as one curvilinear chain; supersonic flow over the ramp forms
+the oblique shock with the exact pressure jump."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dflo_tpu import ic
+from dflo_tpu.cli import build_bcs
+from dflo_tpu.config.params import AllParameters, BoundaryConditionSpec
+from dflo_tpu.driver import Solver
+from dflo_tpu.mesh.geo import load_geo
+from dflo_tpu.ops.basis import make_basis
+from dflo_tpu.physics import euler
+from dflo_tpu.solver.implicit import run_steady
+from dflo_tpu.solver.spatial import BoundarySide, SegmentedSide
+
+GEO = "/root/reference/examples/compression_corner/corner.geo"
+
+# Mach-2 freestream: rho=1, c=1 nondimensionalization
+M1 = 2.0
+P1 = 1.0 / euler.GAMMA
+E1 = P1 / (euler.GAMMA - 1.0) + 0.5 * M1**2
+
+
+def inflow(x, y, t=0.0):
+    o = jnp.ones_like(x)
+    return jnp.stack([M1 * o, 0.0 * o, o, E1 * o])
+
+
+def test_corner_geo_ingests_as_curvilinear_chain():
+    d = load_geo(GEO)
+    m = d.mesh
+    assert hasattr(m, "metric")                 # curvilinear
+    assert (m.nx, m.ny) == (38, 19)
+    assert float(m.metric(np.array([[0.5, 0.5]]))[4].min()) > 0
+    # ramp rise matches tan(9.5 deg) * L2
+    np.testing.assert_allclose(float(m.Y[0, -1]),
+                               np.tan(np.deg2rad(9.5)) * 4.0, rtol=1e-10)
+    assert set(d.side_bids["S"]) == {1} and set(d.side_bids["W"]) == {2} \
+        and set(d.side_bids["E"]) == {3}
+
+
+def test_corner_oblique_shock_pressure_ratio():
+    """theta-beta-M: M=2, theta=9.5deg -> p2/p1 ~ 1.655.  Pseudo-transient
+    implicit steady solve (the reference's local-dt implicit config) must
+    reproduce the jump at the wall behind the shock."""
+    d = load_geo(GEO)
+    bid_map = {1: BoundaryConditionSpec(kind=euler.BC_SLIP),
+               2: BoundaryConditionSpec(kind=euler.BC_INFLOW, values=inflow),
+               3: BoundaryConditionSpec(kind=euler.BC_OUTFLOW)}
+    params = AllParameters()
+    params.boundary_conditions = bid_map
+    bcs = build_bcs(params, d.side_bids)
+    basis = make_basis("Qk", 1)
+    s = Solver(basis, d.mesh, bcs, flux="kfvs", cfl=2.0, method="implicit",
+               max_nonlin_iter=1, linear_residual=1e-2,
+               gmres_restart=20, gmres_maxiter=1)
+    u = ic.set_initial_condition(basis, d.mesh, inflow)
+    u, hist = run_steady(s, u, cfl0=2.0, min_residual=1e-8, max_steps=80)
+    assert hist[-1] < 0.1 * hist[0]
+    ub = np.array(s.cell_averages(u))
+    pre = np.array(euler.pressure(jnp.asarray(ub)))
+    # wall pressure well downstream of the corner (x in [3.5, 4.5])
+    xc, _ = d.mesh.cell_centers()
+    wall = pre[0]
+    sel = (xc[0] > 3.5) & (xc[0] < 4.5)
+    ratio = wall[sel].mean() / P1
+    # exact oblique-shock ratio for M=2, theta=9.5deg
+    beta = 38.85 * np.pi / 180.0
+    Mn1 = M1 * np.sin(beta)
+    exact = 1.0 + 2.0 * euler.GAMMA / (euler.GAMMA + 1.0) * (Mn1**2 - 1.0)
+    assert abs(ratio - exact) / exact < 0.15, (ratio, exact)
+    # upstream of the corner still freestream
+    up = pre[0][(xc[0] > 0.1) & (xc[0] < 0.7)]
+    assert abs(up.mean() / P1 - 1.0) < 0.08
