@@ -50,7 +50,8 @@ class Solver:
                  method: str = "rk", theta: float = 1.0,
                  max_nonlin_iter: int = 1, linear_residual: float = 1e-4,
                  gmres_restart: int = 30, gmres_maxiter: int = 10,
-                 fixed_time_step: float | None = None):
+                 fixed_time_step: float | None = None,
+                 volume_kernel: str = "xla"):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -87,7 +88,8 @@ class Solver:
                                 well_balanced=well_balanced,
                                 potential=potential,
                                 polytropic_nu=polytropic_nu,
-                                mass_matrix=mass_matrix)
+                                mass_matrix=mass_matrix,
+                                volume_kernel=volume_kernel)
         self.avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
 
         cfg = self.limiter_cfg

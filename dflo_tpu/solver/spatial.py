@@ -103,7 +103,7 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
              mask: np.ndarray | None = None, dtype=None,
              well_balanced: str | None = None,
              potential: Callable | None = None, polytropic_nu: float = 1.2,
-             mass_matrix: str = "diagonal"):
+             mass_matrix: str = "diagonal", volume_kernel: str = "xla"):
     """Build du/dt = rhs(u, t) for a Cartesian mesh.
 
     bcs    : {'W','E','S','N'} -> BoundarySide | SegmentedSide.  Periodic
@@ -128,6 +128,8 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     mass_matrix : 'diagonal' (lumped, src_gll/claw.cc:233-262) or 'full'
              (consistent, exact per-cell tensor-product inverse replacing the
              PreconditionBlockJacobi solve of src_gll/claw.cc:754-770).
+    volume_kernel : 'xla' (default) or 'pallas' — hand-fused VMEM-resident
+             volume term (dflo_tpu.ops.pallas_kernels); collocated bases only.
     """
     dtype = dtype or jnp.zeros(0).dtype
     num_flux = get_flux(flux)
@@ -180,6 +182,8 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     elif mass_matrix != "diagonal":
         raise ValueError(f"unknown mass matrix option {mass_matrix!r}")
     collocated = basis.is_nodal_collocated and basis.nq == basis.degree + 1
+    if volume_kernel == "pallas" and not collocated:
+        raise ValueError("volume_kernel='pallas' needs a collocated basis")
 
     if well_balanced is not None:
         if well_balanced not in ("isothermal", "polytropic"):
@@ -257,7 +261,11 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
 
         # ---- volume term: + int F . grad(phi) dV -------------------------
         # both direction lifts as one matmul over the stacked flux array
-        R = basis_apply(lift_stack, jnp.concatenate([Fx, Fy], axis=1))
+        if volume_kernel == "pallas":
+            from dflo_tpu.ops.pallas_kernels import volume_residual
+            R = volume_residual(lift_stack, u)
+        else:
+            R = basis_apply(lift_stack, jnp.concatenate([Fx, Fy], axis=1))
 
         # ---- source terms ------------------------------------------------
         if source is not None:
