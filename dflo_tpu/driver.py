@@ -51,7 +51,7 @@ class Solver:
                  max_nonlin_iter: int = 1, linear_residual: float = 1e-4,
                  gmres_restart: int = 30, gmres_maxiter: int = 10,
                  fixed_time_step: float | None = None,
-                 volume_kernel: str = "xla"):
+                 volume_kernel: str = "xla", precondition: str | None = None):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -125,7 +125,7 @@ class Solver:
             self._implicit_step = make_implicit_step(
                 self.rhs, theta=theta, max_newton=max_nonlin_iter,
                 lin_tol=linear_residual, gmres_restart=gmres_restart,
-                gmres_maxiter=gmres_maxiter)
+                gmres_maxiter=gmres_maxiter, precondition=precondition)
         elif method != "rk":
             raise ValueError(f"unknown solver method {method!r}")
         self._step = jax.jit(self._make_step())

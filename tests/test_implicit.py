@@ -103,3 +103,38 @@ def test_pseudo_transient_steady_convergence():
     # converged state is uniform freestream
     ub = np.array(s.cell_averages(u))
     assert np.abs(ub[euler.RHO] - 1.0).max() < 1e-6
+
+
+def test_block_jacobi_preconditioner_accelerates_stiff_solve():
+    """Exact per-cell diagonal-block preconditioning (the matrix-free analog
+    of the reference's BlockSSOR, src/claw.cc:666-691) reduces the residual
+    substantially faster at a fixed Krylov budget on a stiff (50x explicit
+    CFL) backward-Euler system."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(12, 12, 0.0, 1.0, 0.0, 1.0)
+    far = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 0.5), jnp.zeros_like(x), jnp.ones_like(x),
+         jnp.full_like(x, 2.6)])
+    bcs = dict(W=BoundarySide(euler.BC_FARFIELD, far),
+               E=BoundarySide(euler.BC_FARFIELD, far),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+    rhs = make_rhs(basis, mesh, bcs, flux="roe")
+
+    def pert(x, y, t=0.0):
+        b = 0.05 * jnp.exp(-50 * ((x - 0.5) ** 2 + (y - 0.5) ** 2))
+        return jnp.stack([0.5 + b, b, 1.0 + b, jnp.full_like(x, 2.6)])
+
+    u0 = ic.set_initial_condition(basis, mesh, pert)
+    dt = 50.0 * float(compute_dt(cell_averages(basis, u0), mesh, 1, 1.0))
+
+    out = {}
+    for pc in (None, "block_jacobi"):
+        step = jax.jit(make_implicit_step(
+            rhs, theta=1.0, max_newton=1, lin_tol=1e-8,
+            gmres_restart=10, gmres_maxiter=1, precondition=pc))
+        u = u0
+        for _ in range(6):
+            u, _ = step(u, 0.0, dt)
+        out[pc] = float(jnp.sqrt(jnp.sum(rhs(u, 0.0) ** 2)))
+    assert out["block_jacobi"] < 0.5 * out[None], out
