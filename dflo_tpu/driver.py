@@ -119,7 +119,8 @@ class Solver:
         if method == "mood":
             from dflo_tpu.stab.mood import make_mood
             self._mood_stage = make_mood(basis, mesh, self.rhs, per_x, per_y,
-                                         mask=mask, dtype=dtype)
+                                         mask=mask, dtype=dtype,
+                                         positivity=self._positivity)
         elif method == "implicit":
             from dflo_tpu.solver.implicit import make_implicit_step
             self._implicit_step = make_implicit_step(
@@ -220,6 +221,10 @@ class Solver:
             callback: Callable | None = None, max_steps: int = 10**7):
         """Advance u from t0 to t_end; callback(u, t, it) at every step."""
         t, it = t0, 0
+        # the reference limits the freshly-set IC before the first step
+        # (src/claw.cc:997-1001); without this a projected discontinuous IC
+        # can hand unlimited oscillations to the first flux evaluation
+        u = self.post_stage(u, t0)
         while t < t_end - 1e-12 and it < max_steps:
             u, dt, bad = self._step(u, t, t_end)
             if bool(bad):

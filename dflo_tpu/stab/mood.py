@@ -77,12 +77,22 @@ def dilate4(flag):
 
 
 def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
-              per_y: bool = False, mask=None, dtype=None, max_iters: int = 20):
+              per_y: bool = False, mask=None, dtype=None, max_iters: int = 20,
+              positivity=None):
     """Build mood_stage(u_pre, t, dt) -> (u_candidate, limiter_marked).
 
     u_pre is the stage predictor; the returned candidate is the accepted
     forward-Euler update u_pre + dt*R under the final degree map; marked
-    flags cells whose TVB limiter the cascade switched on."""
+    flags cells whose TVB limiter the cascade switched on.
+
+    positivity: optional Zhang-Shu limiter (u, ubar) -> u applied to the
+    degree-truncated predictor before each candidate rhs evaluation.  Modal
+    truncation does not preserve point positivity (only the mean), so at
+    strong shocks an un-relimited truncated polynomial can hand negative
+    density/pressure trace values to the Riemann flux; re-applying Zhang-Shu
+    after truncation restores the positivity invariant the candidate update
+    relies on (the reference's fused positivity-inside-the-limiter-loop
+    pattern, src_mpi/limiter.cc:230,389,549)."""
     dtype = dtype or jnp.zeros(0).dtype
     if basis.family != "Pk":
         raise ValueError("MOOD is implemented only for Pk "
@@ -134,6 +144,10 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
         def candidate(deg):
             tm = trunc[deg]                          # [ny, nx, K]
             u_t = u_pre * jnp.moveaxis(tm, -1, 0)[None]
+            if positivity is not None:
+                # truncation keeps the mean (mode 0) but not positivity at
+                # the quadrature/trace points; re-limit before the flux eval
+                u_t = positivity(u_t, ubar0)
             return u_t + dt * rhs(u_t, t)
 
         def body(carry):

@@ -52,6 +52,83 @@ def test_vortex_1_vs_8_devices(shape):
     assert t1 == tN
 
 
+def dmr_ic(x, y, t=0.0):
+    """Double-Mach-reflection Mach-10 oblique shock
+    (examples/double_mach_reflection/input.prm)."""
+    post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))
+    rho = jnp.where(post, 8.0, 1.4)
+    vx = jnp.where(post, 7.14471, 0.0)
+    vy = jnp.where(post, -4.125, 0.0)
+    p = jnp.where(post, 116.5, 1.0)
+    return jnp.stack([rho * vx, rho * vy, rho,
+                      p / (euler.GAMMA - 1.0) + 0.5 * rho * (vx**2 + vy**2)])
+
+
+def _dmr_solver(device_mesh=None):
+    """double_mach Q2 Pk + MOOD cascade, the sharded BASELINE config 4."""
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(48, 16, 0.0, 3.0, 0.0, 1.0)
+    inflow = lambda x, y, t: dmr_ic(x, y, t)  # noqa: E731
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_FARFIELD, inflow))
+    lim = LimiterConfig(type="TVB", shock_indicator="limiter", beta=2.0,
+                        char_lim=True, pos_lim=True)
+    return basis, mesh, Solver(basis, mesh, bcs, flux="hllc", limiter=lim,
+                               cfl=0.5, method="mood",
+                               device_mesh=device_mesh)
+
+
+def test_double_mach_mood_stage_partition_invariant():
+    """The MOOD cascade (while_loop + DMP neighborhood rolls + u2 exemption
+    + positivity-relimited candidates) evaluated on a sharded state must give
+    the 1-device result to roundoff — the TPU analog of the reference's
+    per-cell determinism under MPI partitioning (src_mpi/claw.cc:59-76)."""
+    basis, mesh, s1 = _dmr_solver()
+    dm = device_mesh((2, 4))
+    _, _, sN = _dmr_solver(device_mesh=dm)
+    u0 = s1.post_stage(ic.set_initial_condition(basis, mesh, dmr_ic))
+    c1, m1 = s1._mood_stage(u0, 0.0, 3.0e-4)
+    cN, mN = sN._mood_stage(shard_state(u0, dm), 0.0, 3.0e-4)
+    assert int((m1 != mN).sum()) == 0
+    np.testing.assert_allclose(np.array(cN), np.array(c1),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_double_mach_mood_1_vs_8_devices():
+    """BASELINE config 4: double_mach Q2 with the MOOD cascade, elements
+    sharded over a (2,4) device mesh, run end-to-end.
+
+    Bitwise cross-partition parity is NOT attainable for the full run: the
+    1- and 8-device jitted steps are different XLA programs whose fusion
+    differences perturb values at ~1e-15, and the cascade's discrete
+    accept/reduce decisions amplify any perturbation through the chaotic
+    Mach-10 flow (the reference's serial-vs-MPI check is bitwise only
+    because deal.II executes the identical per-cell FP stream on every
+    partitioning).  The stage-level test above pins the strict invariance;
+    here we assert the physically meaningful agreement: identical step
+    count/time (dt decisions match), positivity everywhere, and
+    cell-average density agreement to ~0.1% in L1."""
+    basis, mesh, s1 = _dmr_solver()
+    u0 = ic.set_initial_condition(basis, mesh, dmr_ic)
+    u1, t1, it1 = s1.run(u0, 0.01)
+    assert it1 > 1
+
+    dm = device_mesh((2, 4))
+    _, _, sN = _dmr_solver(device_mesh=dm)
+    uN, tN, itN = sN.run(shard_state(u0, dm), 0.01)
+    assert len(uN.sharding.device_set) == 8
+    assert (t1, it1) == (tN, itN)
+
+    a1 = np.array(s1.cell_averages(u1))
+    aN = np.array(sN.cell_averages(uN))
+    assert np.isfinite(aN).all()
+    assert aN[euler.RHO].min() > 0.0
+    rho_scale = np.abs(a1[euler.RHO]).mean()
+    assert np.abs(a1 - aN)[euler.RHO].mean() < 0.005 * rho_scale
+
+
 def test_sod_limited_1_vs_8_devices():
     """Shock-limited run (indicator + TVB + positivity all active): the full
     stabilization chain must also be partition-invariant."""
