@@ -64,11 +64,18 @@ def build_domain(params: AllParameters, prm_dir: str = "."):
                      "S": np.full(cmesh.nx, 0), "N": np.full(cmesh.nx, 1)}
         return cmesh, None, side_bids
     if path.endswith(".geo"):
-        from dflo_tpu.mesh.geo import load_geo
+        from dflo_tpu.mesh.geo import UnstructuredDomain, load_geo
         dom = load_geo(path)
+        if isinstance(dom, UnstructuredDomain):
+            return dom.mesh, None, None    # general-quad path, bids per face
         return dom.mesh, dom.mask, dom.side_bids
     from dflo_tpu.mesh.msh import load_msh
-    dom = load_msh(path)
+    try:
+        dom = load_msh(path)
+    except ValueError:
+        # not a uniform raster: general unstructured quad mesh
+        from dflo_tpu.mesh.unstructured import from_msh
+        return from_msh(path), None, None
     return dom.mesh, dom.mask, dom.side_bids
 
 
@@ -105,6 +112,11 @@ def build_ic(params: AllParameters):
 def set_ic(params: AllParameters, solver):
     """Initial state incl. the cell-centered setter family
     (src_gll/ic.cc:226-345)."""
+    from dflo_tpu.driver_unstruct import (UnstructuredSolver,
+                                          set_initial_condition_unstructured)
+    if isinstance(solver, UnstructuredSolver):
+        return set_initial_condition_unstructured(
+            solver.basis, solver.mesh, build_ic(params))
     if params.ic_function in ic_mod.IC_CELLWISE:
         fn = ic_mod.IC_CELLWISE[params.ic_function](params)
         return solver.apply_mask(ic_mod.set_initial_condition_cellcentered(
@@ -114,13 +126,60 @@ def set_ic(params: AllParameters, solver):
         solver.basis, solver.mesh, fn))
 
 
+def _build_source(params: AllParameters, unstructured: bool = False):
+    """Body-force callable from the config (gravity / external force /
+    potential-gradient on general meshes)."""
+    source = None
+    if params.gravity != 0.0:
+        g = params.gravity
+
+        def source(x, y, t, W):  # (src/equation.h:829-850)
+            return euler.forcing_gravity(W, (0.0, -g))
+
+    elif params.external_force is not None:
+        ef = params.external_force
+
+        def source(x, y, t, W):  # (src_mpi/equation.h:1186-1202)
+            fx, fy = ef(x, y, t)
+            return euler.forcing_external(W, fx, fy)
+
+    return source
+
+
 def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
     mesh, mask, side_bids = build_domain(params, prm_dir)
-    bcs = build_bcs(params, side_bids)
 
     from dflo_tpu.ops.basis import make_basis
     family = {"Qk": "Qk", "Pk": "Pk", "GLL": "Qk_gll"}[params.basis]
     basis = make_basis(family, params.degree)
+
+    if side_bids is None:
+        # general unstructured quad mesh: per-face boundary-id table
+        from dflo_tpu.driver_unstruct import UnstructuredSolver
+        bc_table = {bid: BoundarySide(spec.kind, spec.values)
+                    for bid, spec in params.boundary_conditions.items()}
+        lim = LimiterConfig(
+            type=params.limiter.type,
+            shock_indicator=params.limiter.shock_indicator,
+            M=params.limiter.M, beta=params.limiter.beta,
+            char_lim=params.limiter.char_lim,
+            pos_lim=params.limiter.pos_lim)
+        fixed_dt = params.time_step if (params.cfl <= 0
+                                        and params.time_step > 0) else None
+        well_balanced = None
+        if params.potential is not None:
+            # gravity-potential runs belong to the src_gll tree: GLL
+            # collocation + the well-balanced source
+            basis = make_basis("Qk_gll", params.degree)
+            well_balanced = params.well_balanced
+        solver = UnstructuredSolver(
+            basis, mesh, bc_table, flux=params.flux.flux, limiter=lim,
+            source=_build_source(params, unstructured=True), cfl=params.cfl,
+            fixed_time_step=fixed_dt, well_balanced=well_balanced,
+            potential=params.potential)
+        return solver, None
+
+    bcs = build_bcs(params, side_bids)
 
     lim = LimiterConfig(
         type=params.limiter.type,
@@ -129,19 +188,7 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
         char_lim=params.limiter.char_lim, pos_lim=params.limiter.pos_lim,
         conserve_angular_momentum=params.limiter.conserve_angular_momentum)
 
-    source = None
-    if params.gravity != 0.0:
-        g = params.gravity
-
-        def source(x, y, t, W):  # noqa: F811  (src/equation.h:829-850)
-            return euler.forcing_gravity(W, (0.0, -g))
-
-    if params.external_force is not None and source is None:
-        ef = params.external_force
-
-        def source(x, y, t, W):  # noqa: F811 (src_mpi/equation.h:1186-1202)
-            fx, fy = ef(x, y, t)
-            return euler.forcing_external(W, fx, fy)
+    source = _build_source(params)
 
     well_balanced = None
     if params.potential is not None:
@@ -196,7 +243,9 @@ def main(argv=None):
     with timer("Setup"):
         solver, mask = build_solver(params, prm_dir)
     basis, mesh = solver.basis, solver.mesh
-    print(f"dflo_tpu: {basis.family}{basis.degree}, mesh {mesh.nx}x{mesh.ny}, "
+    mesh_desc = (f"{mesh.nx}x{mesh.ny}" if hasattr(mesh, "nx")
+                 else f"{mesh.n_cells} cells (unstructured)")
+    print(f"dflo_tpu: {basis.family}{basis.degree}, mesh {mesh_desc}, "
           f"flux={params.flux.flux}, limiter={params.limiter.type}")
 
     u = set_ic(params, solver)
@@ -210,9 +259,19 @@ def main(argv=None):
     ang_iter = params.output.ang_mom_step
     snap = [0]
 
+    from dflo_tpu.driver_unstruct import UnstructuredSolver
+    unstructured = isinstance(solver, UnstructuredSolver)
+
     def write_snapshot(u, t):
         with timer("Output"):
-            if params.output.format == "tecplot":
+            if unstructured:
+                from dflo_tpu.io.vtk import write_vtu_unstructured
+                path = os.path.join(args.output_dir,
+                                    f"solution-{snap[0]:03d}.vtu")
+                write_vtu_unstructured(
+                    path, basis, mesh, np.asarray(u), t=t,
+                    schlieren=params.output.schlieren_plot)
+            elif params.output.format == "tecplot":
                 path = os.path.join(args.output_dir,
                                     f"solution-{snap[0]:03d}.plt")
                 write_tecplot(path, basis, mesh, np.asarray(u), t=t, mask=mask)
@@ -221,6 +280,9 @@ def main(argv=None):
                                     f"solution-{snap[0]:03d}.vtu")
                 write_vtu(path, basis, mesh, np.asarray(u), t=t,
                           schlieren=params.output.schlieren_plot, mask=mask)
+        if unstructured:
+            snap[0] += 1
+            return
         if args.checkpoint_every and snap[0] % args.checkpoint_every == 0:
             save_checkpoint(os.path.join(args.output_dir,
                                          f"checkpoint-{snap[0]:03d}.npz"),
@@ -234,7 +296,7 @@ def main(argv=None):
             print(f"  it={it0 + it:6d}  t={t:.6f}")
         if out_iter and it % out_iter == 0:
             write_snapshot(u, t)
-        if ang_iter and it % ang_iter == 0:
+        if ang_iter and it % ang_iter == 0 and not unstructured:
             am = float(angular_momentum(basis, mesh, u, mask))
             print(f"Total angular momentum: {t:18.8e} {am:24.14e}")
 

@@ -40,6 +40,80 @@ def _patch_nodes(p: int) -> np.ndarray:
     return np.array([(a, b) for b in s for a in s])
 
 
+def _physical_gradient(basis, mesh, rho, ref_pts):
+    """d(rho)/dx, d(rho)/dy at reference points in every cell, on any mesh:
+    Cartesian meshes divide by dx/dy; meshes with per-cell metric terms
+    (CurvilinearMesh / UnstructuredQuadMesh) invert the bilinear Jacobian
+    (fixes the schlieren postprocessor on general mappings,
+    src/equation.cc:122-124)."""
+    Gx, Gy = basis.grad_at(ref_pts)
+    d_xi = np.asarray(basis_apply(Gx, rho[None]))[0]
+    d_eta = np.asarray(basis_apply(Gy, rho[None]))[0]
+    if hasattr(mesh, "metric"):
+        x_xi, x_eta, y_xi, y_eta, detJ = mesh.metric(ref_pts)
+        drdx = (y_eta * d_xi - y_xi * d_eta) / detJ
+        drdy = (-x_eta * d_xi + x_xi * d_eta) / detJ
+        return drdx, drdy
+    return d_xi / mesh.dx, d_eta / mesh.dy
+
+
+def write_vtu_unstructured(path: str, basis: basis_mod.Basis, mesh, u,
+                           t: float = 0.0, schlieren: bool = True,
+                           extra_cell_fields=None):
+    """VTU output for the flat-cell unstructured path: u[4, K, N] on an
+    UnstructuredQuadMesh (the same per-cell patch decomposition as
+    write_vtu; parallels src/output.cc:32-107)."""
+    import numpy as _np
+    u = _np.asarray(u)
+    p = basis.degree
+    N = u.shape[-1]
+    nodes = _patch_nodes(p)
+    M = len(nodes)
+
+    E = basis.eval_at(nodes)
+    vals = np.asarray(basis_apply(E, u))             # [4, M, N]
+    xn, yn = mesh.point_coords(nodes)                # [M, N]
+    pts = np.zeros((N * M, 3))
+    pts[:, 0] = xn.T.ravel()
+    pts[:, 1] = yn.T.ravel()
+
+    def gather(field):                               # [M, N] -> flat
+        return field.T.ravel()
+
+    fields = {
+        "Density": gather(vals[euler.RHO]),
+        "XMomentum": gather(vals[euler.MX]),
+        "YMomentum": gather(vals[euler.MY]),
+        "Energy": gather(vals[euler.ENE]),
+    }
+    vx, vy, pr = derived_fields(vals)
+    fields["XVelocity"] = gather(vx)
+    fields["YVelocity"] = gather(vy)
+    fields["Pressure"] = gather(pr)
+    if schlieren:
+        drdx, drdy = _physical_gradient(basis, mesh, u[euler.RHO], nodes)
+        fields["schlieren_plot"] = gather(drdx**2 + drdy**2)
+
+    n1 = p + 1
+    sub = []
+    for j in range(p):
+        for i in range(p):
+            a = j * n1 + i
+            sub.append([a, a + 1, a + n1 + 1, a + n1])
+    sub = np.array(sub)
+    conn = (np.arange(N)[:, None, None] * M + sub[None]).reshape(-1, 4)
+
+    cell_fields = {}
+    for name, arr in (extra_cell_fields or {}).items():
+        cell_fields[name] = np.repeat(np.asarray(arr), p * p)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    from dflo_tpu import native as native_mod
+    if native_mod.vtu_write(path, pts, conn, fields, cell_fields, t):
+        return
+    _write_vtu_file(path, pts, conn, fields, cell_fields, t)
+
+
 def write_vtu(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
               schlieren: bool = True, mask=None, extra_cell_fields=None):
     """Write the DG solution as a VTU file of per-cell patches.
@@ -62,9 +136,7 @@ def write_vtu(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
     vals = np.asarray(basis_apply(E, u))
     # gradients for schlieren
     if schlieren:
-        Gx, Gy = basis.grad_at(nodes)
-        drdx = np.asarray(basis_apply(Gx, u[euler.RHO][None]))[0] / mesh.dx
-        drdy = np.asarray(basis_apply(Gy, u[euler.RHO][None]))[0] / mesh.dy
+        drdx, drdy = _physical_gradient(basis, mesh, u[euler.RHO], nodes)
         schl = drdx**2 + drdy**2                     # src/equation.cc:122-124
 
     xn, yn = mesh.point_coords(nodes)                # [M, ny, nx]

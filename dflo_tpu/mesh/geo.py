@@ -43,6 +43,10 @@ class GeoModel:
     physical_lines: dict  # boundary id -> [line ids]
     surfaces: list        # list of [line ids] (loops)
     periodic: list        # (line, partner) pairs
+    circles: dict = dataclasses.field(default_factory=dict)
+    #                     # id -> (p_start, p_center, p_end) arcs
+    point_lc: dict = dataclasses.field(default_factory=dict)
+    #                     # id -> characteristic length (4th Point coord)
 
 
 def parse_geo(text: str) -> GeoModel:
@@ -65,6 +69,16 @@ def parse_geo(text: str) -> GeoModel:
             pid = int(_ev(m.group(1), env))
             coords = [_ev(c, env) for c in m.group(2).split(",")]
             model.points[pid] = (coords[0], coords[1])
+            if len(coords) >= 4:
+                model.point_lc[pid] = coords[3]
+            continue
+        m = re.match(r"Circle\((\w+)\)\s*=\s*\{(.*)\}", s)
+        if m:
+            cid = int(_ev(m.group(1), env))
+            a, c, b = [int(_ev(v, env)) for v in m.group(2).split(",")]
+            model.circles[cid] = (a, c, b)
+            # arcs participate in loops/physical lines via their endpoints
+            model.lines[cid] = (a, b)
             continue
         m = re.match(r"Line\((\w+)\)\s*=\s*\{(.*)\}", s)
         if m:
@@ -159,7 +173,17 @@ def rasterize(model: GeoModel, tol: float = 1e-9) -> RasterizedDomain:
             elif abs(x1 - x2) < tol:
                 nyc = n - 1
         if nxc is None or nyc is None:
-            raise ValueError("block lacks transfinite point counts")
+            # no transfinite spec (unstructured .geo of a plain rectangle,
+            # e.g. gravity/constant_gravity/grid_uns.geo): derive the cell
+            # counts from the points' characteristic lengths
+            lcs = [model.point_lc[p] for p in pts if p in model.point_lc]
+            if not lcs:
+                raise ValueError("block lacks transfinite point counts")
+            lc = sum(lcs) / len(lcs)
+            if nxc is None:
+                nxc = max(1, int(round((xs[1] - xs[0]) / lc)))
+            if nyc is None:
+                nyc = max(1, int(round((ys[1] - ys[0]) / lc)))
         rects.append((xs[0], xs[1], ys[0], ys[1], nxc, nyc))
 
     hx = {round((r[1] - r[0]) / r[4], 12) for r in rects}
@@ -317,11 +341,54 @@ def to_curvilinear(model: GeoModel, tol: float = 1e-9):
     return mesh, side_bids
 
 
+@dataclasses.dataclass
+class UnstructuredDomain:
+    """General-quad form of a .geo model (mesh.unstructured path)."""
+    mesh: object                       # UnstructuredQuadMesh
+
+
+def to_disk(model: GeoModel, tol: float = 1e-9):
+    """Interpret a full-circle Circle-arc loop (the delquad disk meshes,
+    examples/gravity/{radial_gravity,iso_xing_shu}/grid_uns.geo) as a
+    butterfly all-quad O-grid at the .geo characteristic length."""
+    import numpy as _np
+    from dflo_tpu.mesh.unstructured import disk_butterfly
+
+    if not model.circles or len(model.surfaces) != 1:
+        raise ValueError("not a single circle-bounded surface")
+    loop = model.surfaces[0]
+    if any(abs(lid) not in model.circles for lid in loop):
+        raise ValueError("surface loop mixes circles and lines")
+    centers = {model.points[model.circles[abs(lid)][1]] for lid in loop}
+    if len(centers) != 1:
+        raise ValueError("arcs have different centers")
+    cx, cy = centers.pop()
+    radii = [_np.hypot(model.points[model.circles[abs(lid)][0]][0] - cx,
+                       model.points[model.circles[abs(lid)][0]][1] - cy)
+             for lid in loop]
+    r = float(_np.mean(radii))
+    if max(abs(q - r) for q in radii) > tol * max(r, 1.0):
+        raise ValueError("arcs have different radii")
+    rim_pts = {p for lid in loop
+               for p in (model.circles[abs(lid)][0], model.circles[abs(lid)][2])}
+    lcs = [model.point_lc[p] for p in rim_pts if p in model.point_lc]
+    lc = float(_np.mean(lcs)) if lcs else 2.0 * _np.pi * r / 100.0
+    bid = -1
+    for b, lids in model.physical_lines.items():
+        if any(abs(lid) in model.circles for lid in lids):
+            bid = b
+            break
+    return disk_butterfly(r, lc, boundary_id=bid, center=(cx, cy))
+
+
 def load_geo(path: str):
-    """Rasterized Cartesian domain, or a curvilinear chain when the blocks
-    are not axis-aligned (compression_corner)."""
+    """Rasterized Cartesian domain, a curvilinear chain when the blocks are
+    not axis-aligned (compression_corner), or an unstructured butterfly disk
+    for circle-bounded surfaces (gravity grid_uns.geo)."""
     with open(path) as f:
         model = parse_geo(f.read())
+    if model.circles:
+        return UnstructuredDomain(mesh=to_disk(model))
     try:
         return rasterize(model)
     except ValueError as e:
