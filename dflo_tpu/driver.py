@@ -72,11 +72,12 @@ class Solver:
         self.curvilinear = hasattr(mesh, "metric")
         if self.curvilinear:
             from dflo_tpu.solver.spatial_curvi import make_rhs_curvilinear
-            if self.limiter_cfg.type not in ("none",):
+            if self.limiter_cfg.type == "TVB":
                 raise ValueError(
-                    "slope limiters require the cartesian mapping "
-                    "(src/parameters.cc:545-546); curvilinear runs use "
-                    "positivity and/or the implicit path")
+                    "the TVB limiter requires the cartesian mapping "
+                    "(src/parameters.cc:545-546); q1 meshes use the "
+                    "mapping-general minmax limiter "
+                    "(src_mpi/limiter.cc:397-555)")
             if mask is not None or well_balanced is not None:
                 raise ValueError("masks / well-balanced gravity are "
                                  "Cartesian-path features")
@@ -101,6 +102,25 @@ class Solver:
                 basis, mesh, M=cfg.M, beta=cfg.beta, char_lim=cfg.char_lim,
                 conserve_angular_momentum=cfg.conserve_angular_momentum,
                 per_x=per_x, per_y=per_y, dtype=dtype, mask=mask)
+        elif cfg.type == "minmax" and self.curvilinear:
+            # mapping-general minmax on the structured curvilinear block:
+            # the unstructured-view limiter over the same cells (row-major
+            # flat order), with wrap seams merged into interior faces
+            from dflo_tpu.mesh.unstructured import from_curvilinear
+            from dflo_tpu.stab.limiter_unstruct import \
+                make_minmax_limiter_unstructured
+            umesh = from_curvilinear(mesh, merge_coincident=per_x or per_y)
+            inner = make_minmax_limiter_unstructured(
+                basis, umesh, M=cfg.M, char_lim=cfg.char_lim, dtype=dtype)
+
+            def _limit_curvi(u, ubar, marked, _inner=inner):
+                c, K, ny, nx = u.shape
+                out = _inner(u.reshape(c, K, ny * nx),
+                             ubar.reshape(c, ny * nx),
+                             jnp.reshape(marked, (ny * nx,)))
+                return out.reshape(c, K, ny, nx)
+
+            self._limit = _limit_curvi
         elif cfg.type == "minmax":
             from dflo_tpu.stab.limiter import make_minmax_limiter
             self._limit = make_minmax_limiter(
@@ -151,7 +171,12 @@ class Solver:
             return u
         ubar = self.cell_averages(u)
         if self._limit is not None:
-            shock, _ = self._indicator(u, ubar, t)
+            if self._indicator is not None:
+                shock, _ = self._indicator(u, ubar, t)
+            else:
+                # curvilinear: `shock indicator = limiter` (mark all,
+                # src/indicator.cc:15-21)
+                shock = jnp.full(ubar.shape[-2:], 2.0, u.dtype)
             u = self._limit(u, ubar, shock)
         if self._positivity is not None:
             u = self._positivity(u, ubar)

@@ -234,10 +234,14 @@ class UnstructuredQuadMesh:
 # constructors
 # ---------------------------------------------------------------------------
 
-def from_curvilinear(mesh, side_bids: dict | None = None) -> UnstructuredQuadMesh:
+def from_curvilinear(mesh, side_bids: dict | None = None,
+                     merge_coincident: bool = False,
+                     tol: float = 1e-9) -> UnstructuredQuadMesh:
     """Convert a structured (Cartesian or curvilinear) block into the
     unstructured representation.  side_bids: {'W'|'E'|'S'|'N': id or [ids]}
-    physical ids for the block's outer boundary edges."""
+    physical ids for the block's outer boundary edges.
+    merge_coincident: unify duplicated nodes (O-mesh wrap seams become real
+    interior faces)."""
     if hasattr(mesh, "X"):
         X, Y = np.asarray(mesh.X), np.asarray(mesh.Y)
     else:  # CartesianMesh
@@ -247,6 +251,12 @@ def from_curvilinear(mesh, side_bids: dict | None = None) -> UnstructuredQuadMes
     ny, nx = X.shape[0] - 1, X.shape[1] - 1
     nid = np.arange(X.size).reshape(X.shape)
     nodes = np.stack([X.ravel(), Y.ravel()], axis=1)
+    if merge_coincident:
+        key = np.round(nodes / tol).astype(np.int64)
+        _, first, inv = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        nodes = nodes[first]
+        nid = inv[nid]
     # CCW ring: (i,j), (i,j+1), (i+1,j+1), (i+1,j)
     quads = np.stack([nid[:-1, :-1].ravel(), nid[:-1, 1:].ravel(),
                       nid[1:, 1:].ravel(), nid[1:, :-1].ravel()], axis=1)
