@@ -146,6 +146,19 @@ def _build_source(params: AllParameters, unstructured: bool = False):
     return source
 
 
+def _reentrant_corners(mesh, mask):
+    """Solid-region corner points poking into the fluid (3 fluid cells in a
+    2x2 node neighborhood) — the forward-step corner the reference
+    prerefines (src/refine.cc:110-133), found generically from the mask."""
+    m = np.asarray(mask, bool)
+    pins = []
+    for iy in range(1, mesh.ny):
+        for ix in range(1, mesh.nx):
+            if m[iy - 1:iy + 1, ix - 1:ix + 1].sum() == 3:
+                pins.append((mesh.x0 + ix * mesh.dx, mesh.y0 + iy * mesh.dy))
+    return pins
+
+
 def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
     mesh, mask, side_bids = build_domain(params, prm_dir)
 
@@ -200,6 +213,36 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
         method = "implicit"
     else:
         method = "rk"
+
+    if params.refinement.do_refine:
+        # runtime AMR (src/refine.cc + src/claw.cc:1112-1128)
+        from dflo_tpu.amr_pool import AMRConfig, AMRSolver
+        if method != "rk":
+            raise ValueError("`refinement = true` supports the explicit RK "
+                             "path (the reference's AMR cases are explicit)")
+        if not isinstance(mesh, CartesianMesh):
+            raise ValueError("`refinement = true` needs a Cartesian(-raster) "
+                             "mesh; curvilinear AMR is not supported")
+        for T in (4, 2, 1):
+            if mesh.nx % T == 0 and mesh.ny % T == 0:
+                if mask is None:
+                    break
+                tiles = np.asarray(mask, bool).reshape(
+                    mesh.ny // T, T, mesh.nx // T, T)
+                if (tiles.all(axis=(1, 3)) == tiles.any(axis=(1, 3))).all():
+                    break
+        amr_cfg = AMRConfig(shock_value=params.refinement.shock_value,
+                            shock_levels=max(params.refinement.shock_levels, 1),
+                            iter_step=params.refinement.iter_step,
+                            max_elements=params.refinement.max_elements,
+                            tile=T)
+        pins = _reentrant_corners(mesh, mask) if mask is not None else ()
+        solver = AMRSolver(basis, mesh, bcs, flux=params.flux.flux,
+                           amr=amr_cfg, limiter=lim,
+                           cfl=params.cfl if params.cfl > 0 else 0.9,
+                           mask=mask, pins=pins)
+        return solver, mask
+
     fixed_dt = params.time_step if (params.cfl <= 0 and params.time_step > 0
                                     and not params.is_stationary) else None
     solver = Solver(basis, mesh, bcs, flux=params.flux.flux, limiter=lim,
@@ -209,8 +252,51 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
                     mass_matrix=params.mass_matrix, theta=params.theta,
                     max_nonlin_iter=params.max_nonlin_iter,
                     linear_residual=params.solver.linear_residual,
-                    fixed_time_step=fixed_dt)
+                    fixed_time_step=fixed_dt,
+                    time_step_type=params.time_step_type)
     return solver, mask
+
+
+def _main_amr(args, params, solver, timer, t_wall):
+    """Run loop for the adaptive (tile-pool) solver: initial adaptation,
+    adaptation cadence inside run(), VTU snapshots with a level field."""
+    from dflo_tpu.io.vtk import write_vtu_amr
+    if params.ic_function in ic_mod.IC_CELLWISE:
+        raise ValueError("cell-centered ICs are not supported with "
+                         "`refinement = true` yet")
+    fn = build_ic(params)
+    pools = solver.set_ic(fn)
+    print(f"dflo_tpu AMR: {solver.basis.family}{solver.basis.degree}, "
+          f"tiles {solver.nty}x{solver.ntx} (T={solver.T}), "
+          f"levels<={solver.max_level}, "
+          f"{solver.n_active_cells()} active cells")
+    t_end = args.final_time if args.final_time is not None \
+        else params.final_time
+    out_iter = params.output.output_iter_step
+    snap = [0]
+
+    def write_snapshot(pools, t):
+        with timer("Output"):
+            path = os.path.join(args.output_dir,
+                                f"solution-{snap[0]:03d}.vtu")
+            write_vtu_amr(path, solver, pools, t=t)
+        snap[0] += 1
+
+    write_snapshot(pools, 0.0)
+
+    def callback(pools, t, it):
+        if it % 50 == 0 or t >= t_end - 1e-12:
+            print(f"  it={it:6d}  t={t:.6f}  "
+                  f"cells={solver.n_active_cells()}")
+        if out_iter and it % out_iter == 0:
+            write_snapshot(pools, t)
+
+    with timer("Time loop"):
+        pools, t, it = solver.run(pools, t_end, callback=callback)
+    write_snapshot(pools, t)
+    print(timer.summary())
+    print(f"steps={it}  final t={t:.6f}  wall={time.time() - t_wall:.1f}s")
+    return 0
 
 
 def main(argv=None):
@@ -248,6 +334,10 @@ def main(argv=None):
     print(f"dflo_tpu: {basis.family}{basis.degree}, mesh {mesh_desc}, "
           f"flux={params.flux.flux}, limiter={params.limiter.type}")
 
+    from dflo_tpu.amr_pool import AMRSolver
+    if isinstance(solver, AMRSolver):
+        return _main_amr(args, params, solver, timer, t_wall)
+
     u = set_ic(params, solver)
     t0, it0 = 0.0, 0
     if args.resume:
@@ -256,6 +346,8 @@ def main(argv=None):
     t_end = args.final_time if args.final_time is not None \
         else params.final_time
     out_iter = params.output.output_iter_step
+    out_tstep = params.output.output_time_step
+    next_out_t = [out_tstep]          # src/claw.cc:1093-1099 time cadence
     ang_iter = params.output.ang_mom_step
     snap = [0]
 
@@ -296,6 +388,9 @@ def main(argv=None):
             print(f"  it={it0 + it:6d}  t={t:.6f}")
         if out_iter and it % out_iter == 0:
             write_snapshot(u, t)
+        elif t + 1e-12 >= next_out_t[0]:
+            write_snapshot(u, t)
+            next_out_t[0] += out_tstep
         if ang_iter and it % ang_iter == 0 and not unstructured:
             am = float(angular_momentum(basis, mesh, u, mask))
             print(f"Total angular momentum: {t:18.8e} {am:24.14e}")

@@ -51,13 +51,20 @@ class Solver:
                  max_nonlin_iter: int = 1, linear_residual: float = 1e-4,
                  gmres_restart: int = 30, gmres_maxiter: int = 10,
                  fixed_time_step: float | None = None,
-                 volume_kernel: str = "xla", precondition: str | None = None):
+                 volume_kernel: str = "xla", precondition: str | None = None,
+                 time_step_type: str = "global"):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
         self.cfl = cfl
         self.fixed_time_step = fixed_time_step
         self.device_mesh = device_mesh
+        if time_step_type not in ("global", "local"):
+            raise ValueError(f"unknown time step type {time_step_type!r}")
+        if time_step_type == "local" and method == "mood":
+            raise ValueError("MOOD requires global time stepping "
+                             "(src/parameters.cc:536-544)")
+        self.time_step_type = time_step_type
         self.limiter_cfg = limiter or LimiterConfig()
         dtype = dtype or jnp.zeros(0).dtype
         self.dtype = dtype
@@ -228,15 +235,25 @@ class Solver:
                 dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree,
                                        self.cfl, mask=fm)
             dt = jnp.minimum(dt, t_end - t)
+            dt_field = None
+            if self.time_step_type == "local" and not self.curvilinear:
+                # per-cell pseudo-transient dt (src/claw.cc:444-481); the
+                # reported/advanced dt stays the global min
+                dt_field = rk_mod.local_dt(ubar, self.mesh,
+                                           self.basis.degree, self.cfl)
+                if fm is not None:
+                    dt_field = jnp.where(fm, dt_field, 0.0)
             if self.method == "mood":
                 u = self._mood_rk_step(u, t, dt)
             elif self.method == "implicit":
-                u, _res = self._implicit_step(u, t, dt)
+                u, _res = self._implicit_step(
+                    u, t, dt if dt_field is None else dt_field)
                 u = self.post_stage(u, t + dt)
             else:
                 u = rk_mod.ssp_rk_step(self.rhs, u, t, dt, self.ark,
                                        self.stage_times,
-                                       post_stage=self.post_stage)
+                                       post_stage=self.post_stage,
+                                       dt_field=dt_field)
             bad = negative_average_flag(self.cell_averages(u), mask=fm)
             return u, dt, bad
         return step

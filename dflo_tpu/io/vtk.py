@@ -114,6 +114,82 @@ def write_vtu_unstructured(path: str, basis: basis_mod.Basis, mesh, u,
     _write_vtu_file(path, pts, conn, fields, cell_fields, t)
 
 
+def write_vtu_amr(path: str, solver, pools, t: float = 0.0,
+                  schlieren: bool = False):
+    """VTU output for the AMR tile pools (dflo_tpu.amr_pool.AMRSolver):
+    every active patch at every level contributes its per-cell sub-quads,
+    plus a piecewise-constant `level` field (the reference writes the
+    refined triangulation directly, src/output.cc:32-107)."""
+    import numpy as _np
+    basis = solver.basis
+    nodes = _patch_nodes(basis.degree)
+    M = len(nodes)
+    E = basis.eval_at(nodes)
+
+    pts_all, conn_all, vals_all, lvl_all = [], [], [], []
+    off = 0
+    n1 = basis.degree + 1
+    sub = []
+    for j in range(basis.degree):
+        for i in range(basis.degree):
+            a = j * n1 + i
+            sub.append([a, a + 1, a + n1 + 1, a + n1])
+    if not sub:                      # degree 0: one quad per cell
+        sub = [[0, 0, 0, 0]]
+    sub = np.array(sub)
+    for lv in range(solver.max_level + 1):
+        U = _np.asarray(pools[lv])               # [4, K, P, m, m]
+        act = _np.asarray(solver._tables[lv]["active"])
+        if not act.any():
+            continue
+        vals = np.asarray(basis_apply(E, U.reshape(
+            4, basis.K, -1))).reshape(4, M, *U.shape[2:])
+        sel = _np.nonzero(act)[0]
+        m = solver.m[lv]
+        T = solver.T
+        mesh = solver.mesh
+        oy = _np.asarray(solver._tables[lv]["oy"])[sel]
+        ox = _np.asarray(solver._tables[lv]["ox"])[sel]
+        cx = (np.arange(m))[None, None, :]
+        cy = (np.arange(m))[None, :, None]
+        x0 = mesh.x0 + ox[:, None, None] * (T * mesh.dx)
+        y0 = mesh.y0 + oy[:, None, None] * (T * mesh.dy)
+        px = x0[None] + (cx[None] + nodes[:, 0][:, None, None, None]) \
+            * solver.dx[lv]
+        py = y0[None] + (cy[None] + nodes[:, 1][:, None, None, None]) \
+            * solver.dy[lv]
+        px = _np.broadcast_to(px, (M, len(sel), m, m))
+        py = _np.broadcast_to(py, (M, len(sel), m, m))
+        ncell = len(sel) * m * m
+        pts = np.zeros((ncell * M, 3))
+        pts[:, 0] = px.reshape(M, -1).T.ravel()
+        pts[:, 1] = py.reshape(M, -1).T.ravel()
+        v = vals[:, :, sel].reshape(4, M, -1)    # [4, M, ncell]
+        vals_all.append(np.moveaxis(v, 1, 2).reshape(4, -1))
+        conn = (off + np.arange(ncell)[:, None, None] * M
+                + sub[None]).reshape(-1, 4)
+        pts_all.append(pts)
+        conn_all.append(conn)
+        lvl_all.append(np.full(ncell * len(sub), lv))
+        off += ncell * M
+
+    pts = np.concatenate(pts_all, 0)
+    conn = np.concatenate(conn_all, 0)
+    vals = np.concatenate(vals_all, 1)
+    fields = {"Density": vals[euler.RHO], "XMomentum": vals[euler.MX],
+              "YMomentum": vals[euler.MY], "Energy": vals[euler.ENE]}
+    vx, vy, pr = derived_fields(vals)
+    fields["XVelocity"] = vx
+    fields["YVelocity"] = vy
+    fields["Pressure"] = pr
+    cell_fields = {"level": np.concatenate(lvl_all, 0).astype(float)}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    from dflo_tpu import native as native_mod
+    if native_mod.vtu_write(path, pts, conn, fields, cell_fields, t):
+        return
+    _write_vtu_file(path, pts, conn, fields, cell_fields, t)
+
+
 def write_vtu(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
               schlieren: bool = True, mask=None, extra_cell_fields=None):
     """Write the DG solution as a VTU file of per-cell patches.

@@ -37,7 +37,8 @@ def default_scheme(degree: int) -> str:
 
 
 def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
-                post_stage: Callable | None = None, unroll: bool = False):
+                post_stage: Callable | None = None, unroll: bool = False,
+                dt_field=None):
     """One SSP-RK step: u(t) -> u(t + dt).
 
     The stage loop is a lax.scan over the (blend, stage-time) coefficient
@@ -45,13 +46,18 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
     compiled ONCE instead of n_rk times — ~3x smaller HLO for RK3, which
     matters on TPU where compile cost scales with program size.  `unroll=True`
     recovers the flat form (identical results; the scan carries no
-    cross-stage reassociation)."""
+    cross-stage reassociation).
+
+    dt_field: optional per-cell [ny, nx] dt for `time step type = local`
+    explicit pseudo-transient marching (src/claw.cc:444-481); stage TIMES
+    still advance by the scalar dt (BC data takes one time argument)."""
     import jax
 
+    dtu = dt if dt_field is None else dt_field
     u_old = u
     if unroll or len(ark) == 1:
         for a, c in zip(ark, stage_times):
-            u = u + dt * rhs(u, t + c * dt)
+            u = u + dtu * rhs(u, t + c * dt)
             u = a * u_old + (1.0 - a) * u
             if post_stage is not None:
                 u = post_stage(u, t + c * dt)
@@ -61,7 +67,7 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
 
     def body(u, ac):
         a, c = ac[0], ac[1]
-        v = u + dt * rhs(u, t + c * dt)
+        v = u + dtu * rhs(u, t + c * dt)
         v = a * u_old + (1.0 - a) * v
         if post_stage is not None:
             v = post_stage(v, t + c * dt)

@@ -44,20 +44,21 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
     if modal:
         keep = np.zeros(basis.K)
         keep[0] = 1.0
-        keep = jnp.asarray(keep, dtype)[None, :, None, None]
+        keep = jnp.asarray(keep, dtype)
 
     def scale_about_avg(u, ubar, theta, comps=None):
         """theta*u + (1-theta)*avg per cell; modal bases scale the
         non-mean coefficients (src/positivity.cc:90-110)."""
         th = theta[None, None]
         if modal:
-            u_new = u * th + ubar[:, None] * keep * (1.0 - th)
+            kb = keep[(None, slice(None)) + (None,) * (u.ndim - 2)]
+            u_new = u * th + ubar[:, None] * kb * (1.0 - th)
         else:
             u_new = u * th + ubar[:, None] * (1.0 - th)
         if comps is None:
             return u_new
         mask = jnp.zeros((euler.N_COMP,), bool).at[jnp.array(comps)].set(True)
-        return jnp.where(mask[:, None, None, None], u_new, u)
+        return jnp.where(mask[(...,) + (None,) * (u.ndim - 1)], u_new, u)
 
     def limit(u, ubar):
         # ---- density pass (src/positivity.cc:68-111) ----------------------
