@@ -195,7 +195,7 @@ class TwoLevelAMR:
     def step(self, uc, uf, refine_mask, t, t_end):
         """One time step of the composite state; returns updated (uc, uf)."""
         w = self._composite(uc, uf, jnp.asarray(refine_mask))
-        w, dt, bad = self.solver._step(w, t, t_end)
+        w, dt, bad, _ = self.solver._step(w, t, t_end)
         return self.restrict(w), w, dt, bad
 
     # -- adaptation event -------------------------------------------------

@@ -313,6 +313,14 @@ def main(argv=None):
                     help="force a JAX platform (e.g. cpu)")
     ap.add_argument("--x64", action="store_true",
                     help="run in float64 (parity studies)")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="steps per device-side loop between host syncs "
+                         "(production throughput; cadences are then chunk-"
+                         "granular)")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard the domain over N devices (domain "
+                         "decomposition, the mpirun -np N analog; "
+                         "0 = single device)")
     args = ap.parse_args(argv)
 
     import jax
@@ -326,8 +334,13 @@ def main(argv=None):
     timer = Timer()
     params = AllParameters.from_prm_file(args.prm)
     prm_dir = os.path.dirname(os.path.abspath(args.prm))
+    dm = None
+    if args.devices:
+        from dflo_tpu.parallel.sharding import device_mesh
+        dm = device_mesh(devices=jax.devices()[:args.devices])
+        print(f"domain decomposition: {dm.devices.shape} device mesh")
     with timer("Setup"):
-        solver, mask = build_solver(params, prm_dir)
+        solver, mask = build_solver(params, prm_dir, device_mesh=dm)
     basis, mesh = solver.basis, solver.mesh
     mesh_desc = (f"{mesh.nx}x{mesh.ny}" if hasattr(mesh, "nx")
                  else f"{mesh.n_cells} cells (unstructured)")
@@ -339,6 +352,8 @@ def main(argv=None):
         return _main_amr(args, params, solver, timer, t_wall)
 
     u = set_ic(params, solver)
+    if dm is not None:
+        u = solver.shard(u)
     t0, it0 = 0.0, 0
     if args.resume:
         u, t0, it0, _ = load_checkpoint(args.resume, basis=basis, mesh=mesh)
@@ -353,9 +368,19 @@ def main(argv=None):
 
     from dflo_tpu.driver_unstruct import UnstructuredSolver
     unstructured = isinstance(solver, UnstructuredSolver)
+    solver_method = getattr(solver, "method", "rk")
 
     def write_snapshot(u, t):
         with timer("Output"):
+            if dm is not None and not unstructured \
+                    and params.output.format != "tecplot":
+                # per-device pieces + master record (src_mpi/output.cc:51-84)
+                from dflo_tpu.io.vtk import write_vtu_parallel
+                write_vtu_parallel(args.output_dir, snap[0], basis, mesh, u,
+                                   t=t, schlieren=params.output.schlieren_plot,
+                                   mask=mask)
+                snap[0] += 1
+                return
             if unstructured:
                 from dflo_tpu.io.vtk import write_vtu_unstructured
                 path = os.path.join(args.output_dir,
@@ -383,9 +408,30 @@ def main(argv=None):
 
     write_snapshot(u, t0)
 
+    verbose = params.solver.output == "verbose"
+    residual_history = []
+
     def callback(u, t, it):
-        if it % 50 == 0 or t >= t_end - 1e-12:
-            print(f"  it={it0 + it:6d}  t={t:.6f}")
+        if it % 50 == 0 or t >= t_end - 1e-12 or verbose:
+            line = f"  it={it0 + it:6d}  t={t:.6f}"
+            stats = getattr(solver, "last_stats", None)
+            if solver_method == "mood" and stats is not None:
+                # cascade counters (src/claw.cc:851 printout)
+                line += (f"  mood: reduce={int(stats.n_reduce)}"
+                         f" limit={int(stats.n_marked)}"
+                         f" passes={int(stats.iters)}")
+            elif solver_method == "implicit" and stats is not None:
+                # Newton residual history (src/claw.cc:913-914, 1090)
+                res = float(stats.res)
+                residual_history.append(res)
+                line += f"  newton: res={res:.3e} iters={int(stats.iters)}"
+            elif verbose:
+                # explicit per-step rhs norm (src/claw.cc:749,768-769)
+                import jax.numpy as _jnp
+                res = float(_jnp.sqrt(_jnp.sum(solver.rhs(u, t) ** 2)))
+                residual_history.append(res)
+                line += f"  res={res:.3e}"
+            print(line)
         if out_iter and it % out_iter == 0:
             write_snapshot(u, t)
         elif t + 1e-12 >= next_out_t[0]:
@@ -404,8 +450,11 @@ def main(argv=None):
                 min_residual=params.min_residual or 1e-10,
                 max_steps=100000, verbose=True)
             t, it = t0, len(hist)
-        else:
+        elif unstructured:
             u, t, it = solver.run(u, t_end, t0=t0, callback=callback)
+        else:
+            u, t, it = solver.run(u, t_end, t0=t0, callback=callback,
+                                  chunk=max(args.chunk, 1))
         import jax as _jax
         _jax.block_until_ready(u)
     write_snapshot(u, t)

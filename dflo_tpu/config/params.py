@@ -285,9 +285,23 @@ class AllParameters:
             raise ValueError(f"unknown flux {p.flux.flux!r}")
 
         lm = take(d, "limiter", {})
+        lim_type = take(lm, "type", "none")
+        if lim_type == "grad":
+            # examples/backward_step/input.prm ships `type = grad`, the name
+            # of the deprecated face-difference Qk limiter
+            # (src/limiter.cc:72-218) that NO reference tree's parser still
+            # accepts (src/parameters.cc:203 allows only none|TVB) — the
+            # shipped prm aborts in the reference as-is.  Map it to its
+            # successor, the TVB gradient limiter, and say so.
+            import warnings
+            warnings.warn("limiter `type = grad` is the reference's "
+                          "deprecated pre-TVB limiter and is rejected by "
+                          "every reference parser; running TVB instead",
+                          stacklevel=2)
+            lim_type = "TVB"
         p.limiter = LimiterParams(
             shock_indicator=take(lm, "shock indicator", "limiter"),
-            type=take(lm, "type", "none"),
+            type=lim_type,
             char_lim=_bool(take(lm, "characteristic limiter", "false")),
             pos_lim=_bool(take(lm, "positivity limiter", "false")),
             M=float(take(lm, "M", "0")),

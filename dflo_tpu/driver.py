@@ -150,13 +150,19 @@ class Solver:
                                          positivity=self._positivity)
         elif method == "implicit":
             from dflo_tpu.solver.implicit import make_implicit_step
+            # the stabilization chain runs after EVERY Newton update, where
+            # the reference limits (src/claw.cc:905-911)
             self._implicit_step = make_implicit_step(
                 self.rhs, theta=theta, max_newton=max_nonlin_iter,
                 lin_tol=linear_residual, gmres_restart=gmres_restart,
-                gmres_maxiter=gmres_maxiter, precondition=precondition)
+                gmres_maxiter=gmres_maxiter, precondition=precondition,
+                post_update=self.post_stage)
         elif method != "rk":
             raise ValueError(f"unknown solver method {method!r}")
         self._step = jax.jit(self._make_step())
+        self._multi_cache = {}
+        self.last_stats = None       # device-side MoodStats/NewtonInfo of
+                                     # the most recent step (CLI printing)
 
     # ------------------------------------------------------------------
     def cell_averages(self, u):
@@ -202,10 +208,16 @@ class Solver:
         updates (iterate_mood, src/claw.cc:777-871).  After each stage the
         TVB limiter runs ONLY on cells the cascade marked
         (shock_indicator set to 1e20, src/mood.cc:335-340) followed by the
-        positivity limiter (src/claw.cc:866-869)."""
+        positivity limiter (src/claw.cc:866-869).  Returns the summed
+        cascade counters over the stages (src/claw.cc:851 printout)."""
+        from dflo_tpu.stab.mood import MoodStats
         u_old = u
+        stats = None
         for a, c in zip(self.ark, self.stage_times):
-            u_cand, marked = self._mood_stage(u, t + c * dt, dt)
+            u_cand, marked, st = self._mood_stage(u, t + c * dt, dt)
+            stats = st if stats is None else MoodStats(
+                stats.n_reduce + st.n_reduce, stats.n_marked + st.n_marked,
+                stats.iters + st.iters)
             u = a * u_old + (1.0 - a) * u_cand
             u = self.apply_mask(u)
             ubar = self.cell_averages(u)
@@ -214,7 +226,7 @@ class Solver:
                 u = self._limit(u, ubar, shock)
             if self._positivity is not None:
                 u = self._positivity(u, ubar)
-        return u
+        return u, stats
 
     def _make_step(self):
         def step(u, t, t_end):
@@ -243,32 +255,95 @@ class Solver:
                                            self.basis.degree, self.cfl)
                 if fm is not None:
                     dt_field = jnp.where(fm, dt_field, 0.0)
+            stats = ()
             if self.method == "mood":
-                u = self._mood_rk_step(u, t, dt)
+                u, stats = self._mood_rk_step(u, t, dt)
             elif self.method == "implicit":
-                u, _res = self._implicit_step(
+                u, stats = self._implicit_step(
                     u, t, dt if dt_field is None else dt_field)
-                u = self.post_stage(u, t + dt)
             else:
                 u = rk_mod.ssp_rk_step(self.rhs, u, t, dt, self.ark,
                                        self.stage_times,
                                        post_stage=self.post_stage,
                                        dt_field=dt_field)
             bad = negative_average_flag(self.cell_averages(u), mask=fm)
-            return u, dt, bad
+            if self.method == "implicit":
+                # Newton divergence aborts the run like the reference's
+                # AssertThrow (src/claw.cc:919-923)
+                bad = bad | stats.diverged
+            return u, dt, bad, stats
         return step
+
+    def _multi_step(self, chunk: int):
+        """jit a device-side loop of up to `chunk` steps with no host sync
+        in between (the reference's per-step host control costs nothing on
+        CPU/MPI but serializes dispatch on an accelerator).  Time is
+        accumulated in Kahan compensated form so long f32 runs on TPU don't
+        drift.  Returns (u, t, n_done, bad, last_stats)."""
+        if chunk not in self._multi_cache:
+            step = self._make_step()
+
+            def multi(u, t, t_end):
+                zero = jnp.zeros((), t.dtype)
+                st_shape = jax.eval_shape(step, u, t, t_end)[3]
+                stats0 = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), st_shape)
+
+                def body(carry):
+                    u, t, comp, it, _bad, _stats = carry
+                    un, dt, bad, stats = step(u, t, t_end)
+                    y = dt - comp
+                    t2 = t + y
+                    comp = (t2 - t) - y
+                    return un, t2, comp, it + 1, bad, stats
+
+                def cond(carry):
+                    _u, t, _c, it, bad, _s = carry
+                    return (t < t_end - 1e-12) & (it < chunk) & ~bad
+
+                u, t, _c, it, bad, stats = jax.lax.while_loop(
+                    cond, body, (u, t, zero, jnp.asarray(0),
+                                 jnp.asarray(False), stats0))
+                return u, t, it, bad, stats
+
+            self._multi_cache[chunk] = jax.jit(multi)
+        return self._multi_cache[chunk]
 
     # ------------------------------------------------------------------
     def run(self, u, t_end: float, t0: float = 0.0,
-            callback: Callable | None = None, max_steps: int = 10**7):
-        """Advance u from t0 to t_end; callback(u, t, it) at every step."""
+            callback: Callable | None = None, max_steps: int = 10**7,
+            chunk: int = 1):
+        """Advance u from t0 to t_end; callback(u, t, it) after every chunk.
+
+        chunk > 1 runs that many steps inside ONE device-side while_loop per
+        host round trip, removing the per-step dispatch sync (the throughput
+        tax of the reference-style host loop on an accelerator); failure
+        flags and callbacks are then checked at chunk granularity."""
         t, it = t0, 0
         # the reference limits the freshly-set IC before the first step
         # (src/claw.cc:997-1001); without this a projected discontinuous IC
         # can hand unlimited oscillations to the first flux evaluation
         u = self.post_stage(u, t0)
+        if chunk > 1:
+            multi = self._multi_step(chunk)
+            tdev = jnp.asarray(t, self.dtype)
+            while t < t_end - 1e-12 and it < max_steps:
+                u, tdev, n, bad, stats = multi(
+                    u, tdev, jnp.asarray(t_end, self.dtype))
+                self.last_stats = stats
+                if bool(bad):
+                    raise FloatingPointError(
+                        f"negative density/pressure cell average (or Newton "
+                        f"divergence) near t={float(tdev)!r} "
+                        f"(src/positivity.cc:26-39 fatal condition)")
+                t = float(tdev)
+                it += int(n)
+                if callback is not None:
+                    callback(u, t, it)
+            return u, t, it
         while t < t_end - 1e-12 and it < max_steps:
-            u, dt, bad = self._step(u, t, t_end)
+            u, dt, bad, stats = self._step(u, t, t_end)
+            self.last_stats = stats
             if bool(bad):
                 raise FloatingPointError(
                     f"negative density/pressure cell average at t={t!r} "

@@ -264,6 +264,52 @@ def write_vtu(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
     _write_vtu_file(path, pts, conn, fields, cell_fields, t)
 
 
+def write_vtu_parallel(output_dir: str, file_number: int,
+                       basis: basis_mod.Basis, mesh, u, t: float = 0.0,
+                       schlieren: bool = True, mask=None,
+                       master: str = "master_file.visit",
+                       _history: dict = {}):
+    """Per-shard VTU pieces + VisIt master record — the domain-decomposed
+    output of the MPI tree (src_mpi/output.cc:51-84): each device's owned
+    block of the sharded state is written as ``solution-NNNN.RRR.vtu`` with
+    a ``subdomain`` cell field, and ``master_file.visit`` accumulates an
+    ``!NBLOCKS``-grouped record of every snapshot so VisIt/ParaView loads
+    the pieces as one time series.
+
+    u must be a sharded jax.Array [4, K, ny, nx]; on a single device this
+    degrades to one piece per snapshot.  Returns the piece filenames."""
+    shards = sorted(u.addressable_shards, key=lambda s: s.device.id)
+    names = []
+    for rank, sh in enumerate(shards):
+        ys, xs = sh.index[-2], sh.index[-1]
+        ys = slice(*ys.indices(u.shape[-2]))
+        xs = slice(*xs.indices(u.shape[-1]))
+        from dflo_tpu.mesh.cartesian import CartesianMesh
+        sub = CartesianMesh(xs.stop - xs.start, ys.stop - ys.start,
+                            mesh.x0 + xs.start * mesh.dx,
+                            mesh.x0 + xs.stop * mesh.dx,
+                            mesh.y0 + ys.start * mesh.dy,
+                            mesh.y0 + ys.stop * mesh.dy)
+        name = f"solution-{file_number:04d}.{rank:03d}.vtu"
+        sub_u = np.asarray(sh.data)
+        sub_mask = None if mask is None else np.asarray(mask)[ys, xs]
+        subdom = np.full(sub_u.shape[-2:], float(rank))
+        write_vtu(os.path.join(output_dir, name), basis, sub, sub_u, t=t,
+                  schlieren=schlieren, mask=sub_mask,
+                  extra_cell_fields={"subdomain": subdom})
+        names.append(name)
+    # master record, regenerated with the full history like
+    # DataOutBase::write_visit_record (src_mpi/output.cc:70-84)
+    hist = _history.setdefault(output_dir, [])
+    hist.append(names)
+    with open(os.path.join(output_dir, master), "w") as f:
+        for group in hist:
+            f.write(f"!NBLOCKS {len(group)}\n")
+            for n in group:
+                f.write(n + "\n")
+    return names
+
+
 def write_tecplot(path: str, basis: basis_mod.Basis, mesh, u, t: float = 0.0,
                   mask=None):
     """ASCII Tecplot FEQUADRILATERAL zone (`format = tecplot`,

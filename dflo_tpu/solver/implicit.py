@@ -18,16 +18,40 @@ scalar (time-accurate) or a per-cell field (`time step type = local`
 pseudo-transient stepping, src/claw.cc:444-481), and the outer driver ramps
 the CFL by the residual-history factor clamped to [0.5, 2]
 (src/claw.cc:1079-1090).
+
+Newton-loop parity (src/claw.cc:892-932): each iteration assembles the
+residual, solves the linearized system to a RELATIVE tolerance
+`linear_residual * ||F||` (src/claw.cc:669-670), applies the update, and
+runs the full stabilization chain (cell averages -> indicator -> limiter ->
+positivity, src/claw.cc:907-911) BEFORE the next iteration; the loop exits
+when the residual drops below the absolute tolerance 1e-10 or the iteration
+cap is reached (src/claw.cc:925-930).  Divergence (non-finite or exploding
+residual) is surfaced to the host as a flag so the driver can abort the run
+the way the reference's AssertThrow does (src/claw.cc:919-923).
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from dflo_tpu.solver import rk as rk_mod
+
+#: absolute Newton stopping tolerance (src/claw.cc:925-927)
+NEWTON_ATOL = 1.0e-10
+#: residual growth beyond this factor of the first iterate flags divergence
+DIVERGENCE_FACTOR = 1.0e6
+
+
+class NewtonInfo(NamedTuple):
+    """Per-step Newton diagnostics (the reference prints res_norm and the
+    linear-solver stats each iteration, src/claw.cc:913-914)."""
+    res0: jax.Array       # ||F|| entering the first iteration
+    res: jax.Array        # ||F|| entering the last performed iteration
+    iters: jax.Array      # Newton iterations performed
+    diverged: jax.Array   # bool: non-finite or res > 1e6 * res0
 
 
 def make_block_jacobi(F: Callable, u, n_comp: int = 4):
@@ -65,14 +89,19 @@ def make_block_jacobi(F: Callable, u, n_comp: int = 4):
 def make_implicit_step(rhs: Callable, theta: float = 1.0,
                        max_newton: int = 1, lin_tol: float = 1e-4,
                        gmres_restart: int = 30, gmres_maxiter: int = 10,
-                       precondition: str | None = None):
-    """Build step(u_old, t, dt) -> (u_new, res_norm).
+                       precondition: str | None = None,
+                       post_update: Callable | None = None,
+                       newton_atol: float = NEWTON_ATOL):
+    """Build step(u_old, t, dt) -> (u_new, NewtonInfo).
 
     lin_tol is the relative Krylov tolerance (`linear solver residual`,
-    src/parameters.cc:22-24); max_newton mirrors `nonlinear iterations`.
-    dt broadcasts: scalar for global stepping, [ny, nx] for local.
-    precondition: None or 'block_jacobi' (exact per-cell diagonal blocks,
-    the matrix-free analog of the reference's block preconditioners)."""
+    src/parameters.cc:22-24, applied as lin_tol*||F|| at src/claw.cc:669-670);
+    max_newton mirrors `nonlinear iterations`.  dt broadcasts: scalar for
+    global stepping, [ny, nx] for local.  precondition: None or
+    'block_jacobi' (exact per-cell diagonal blocks, the matrix-free analog
+    of the reference's block preconditioners).  post_update, when given, is
+    the driver's stabilization chain u -> u, applied after EVERY Newton
+    update exactly where the reference limits (src/claw.cc:905-911)."""
 
     def step(u_old, t, dt):
         dtb = jnp.asarray(dt)
@@ -83,23 +112,58 @@ def make_implicit_step(rhs: Callable, theta: float = 1.0,
             w = theta * v + (1.0 - theta) * u_old
             return (v - u_old) / dtb - rhs(w, t)
 
-        def newton_iter(u, _):
-            Fv = F(u)
-
+        def newton_update(u, Fv, res):
             def Av(w):
                 return jax.jvp(F, (u,), (w,))[1]
 
             M = make_block_jacobi(F, u) if precondition == "block_jacobi" \
                 else None
+            # relative linear tolerance lin_tol * ||F|| (src/claw.cc:669-670)
             du, _info = jax.scipy.sparse.linalg.gmres(
                 Av, -Fv, tol=lin_tol, atol=0.0,
                 restart=gmres_restart, maxiter=gmres_maxiter,
                 solve_method="batched", M=M)
-            return u + du, None
+            u = u + du
+            if post_update is not None:
+                u = post_update(u, t)
+            return u
 
-        u, _ = jax.lax.scan(newton_iter, u_old, None, length=max_newton)
-        res = jnp.sqrt(jnp.sum(F(u) ** 2))
-        return u, res
+        if max_newton == 1:
+            # common unsteady case (`nonlinear iterations = 1`): skip the
+            # while_loop plumbing, keep one straight-line trace
+            Fv = F(u_old)
+            res0 = jnp.sqrt(jnp.sum(Fv ** 2))
+            u = newton_update(u_old, Fv, res0)
+            iters, dv = jnp.asarray(1), jnp.asarray(False)
+        else:
+            # reference loop shape (src/claw.cc:892-930): assemble -> res ->
+            # solve -> update -> limit -> break at it==max or res<=1e-10.
+            # `res` in the carry is the residual assembled at the top of the
+            # last executed iteration, so the continue test matches the
+            # reference's pre-update residual check.
+            def cond(carry):
+                _u, res, _res0, it, div = carry
+                return (it < max_newton) & (res > newton_atol) & ~div
+
+            def body(carry):
+                u, _res, res0, it, div = carry
+                Fv = F(u)
+                res = jnp.sqrt(jnp.sum(Fv ** 2))
+                res0 = jnp.where(it == 0, res, res0)
+                div = div | ~jnp.isfinite(res) | \
+                    (res > DIVERGENCE_FACTOR * jnp.maximum(res0, 1e-300))
+                u = jnp.where(div, u, newton_update(u, Fv, res))
+                return u, res, res0, it + 1, div
+
+            big = jnp.asarray(jnp.inf, u_old.dtype)
+            u, _res, res0, iters, dv = jax.lax.while_loop(
+                cond, body,
+                (u_old, big, big, jnp.asarray(0), jnp.asarray(False)))
+
+        final = jnp.sqrt(jnp.sum(F(u) ** 2))
+        diverged = dv | ~jnp.isfinite(final) | \
+            (final > DIVERGENCE_FACTOR * jnp.maximum(res0, 1e-300))
+        return u, NewtonInfo(res0, final, iters, diverged)
 
     return step
 
@@ -112,6 +176,8 @@ def run_steady(solver, u, cfl0: float | None = None,
     clamped to [0.5, 2] (src/claw.cc:1079-1090).
 
     `solver` is a dflo_tpu.driver.Solver built with method='implicit'.
+    Aborts with FloatingPointError on Newton divergence, the host-side
+    equivalent of the reference's AssertThrow (src/claw.cc:919-923).
     Returns (u, residual_history)."""
     cfl = cfl0 if cfl0 is not None else solver.cfl
     history = []
@@ -130,17 +196,20 @@ def run_steady(solver, u, cfl0: float | None = None,
             dtc = h_field / lam / (2.0 * solver.basis.degree + 1.0)
         else:
             dtc = rk_mod.local_dt(ubar, solver.mesh, solver.basis.degree, 1.0)
-        u_new, _newton_res = step(u, 0.0, dtc * cfl)
-        u_new = solver.post_stage(u_new)
+        u_new, info = step(u, 0.0, dtc * cfl)
         # convergence is measured on the SPATIAL residual ||R(u)||, the
         # steady-state defect (the reference's res_norm approaches this as
         # the CFL ramp sends dt -> inf)
         res = jnp.sqrt(jnp.sum(solver.rhs(u_new, 0.0) ** 2))
-        return u_new, res
+        return u_new, res, info.diverged
 
     for it in range(max_steps):
-        u, res = one(u, cfl)
+        u, res, diverged = one(u, cfl)
         res = float(res)
+        if bool(diverged) or not (res == res):     # NaN-safe
+            raise FloatingPointError(
+                f"Newton divergence at steady iteration {it} "
+                f"(src/claw.cc:919-923 abort)")
         if it >= 2:
             factor = min(max(history[-1] / res, 0.5), 2.0)
             cfl *= factor

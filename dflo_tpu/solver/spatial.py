@@ -182,8 +182,15 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     elif mass_matrix != "diagonal":
         raise ValueError(f"unknown mass matrix option {mass_matrix!r}")
     collocated = basis.is_nodal_collocated and basis.nq == basis.degree + 1
-    if volume_kernel == "pallas" and not collocated:
-        raise ValueError("volume_kernel='pallas' needs a collocated basis")
+    if volume_kernel in ("pallas", "fused") and not collocated:
+        raise ValueError(f"volume_kernel={volume_kernel!r} needs a "
+                         "collocated basis")
+    if volume_kernel == "fused" and (mask is not None or source is not None
+                                     or well_balanced is not None
+                                     or mass_matrix != "diagonal"):
+        raise ValueError("volume_kernel='fused' covers the plain hot path "
+                         "(no mask/source/well-balanced/full-mass); use "
+                         "'xla' or 'pallas' for those")
 
     if well_balanced is not None:
         if well_balanced not in ("isothermal", "polytropic"):
@@ -241,6 +248,46 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 seg_id[None, None, :] == si, g, ghost)
         A = jnp.broadcast_to(ubar_b[:, None, :], trace.shape)
         return num_flux(trace, ghost, nx_, ny_, AL=A, AR=A)
+
+    if volume_kernel == "fused":
+        from dflo_tpu.ops.pallas_kernels import make_fused_residual
+        fused_res = make_fused_residual(basis, mesh, flux, per_x, per_y,
+                                        dtype)
+        avg_vec = cast(basis.wq2 @ basis.V)     # [K] mean weights
+
+        def rhs_fused(u: Array, t) -> Array:
+            """du/dt via the single fused VMEM kernel + O(boundary)-cost
+            delta-flux strips for the non-periodic sides."""
+            ny_, nx_ = u.shape[-2:]
+            if per_x:
+                dfw = dfe = jnp.zeros((4, nq, ny_), u.dtype)
+            else:
+                c0, cl = u[:, :, :, 0], u[:, :, :, -1]
+                uW0 = jnp.einsum("qk,cky->cqy", faceV[WEST], c0)
+                uEl = jnp.einsum("qk,cky->cqy", faceV[EAST], cl)
+                ub0 = jnp.einsum("k,cky->cy", avg_vec, c0)
+                ubl = jnp.einsum("k,cky->cy", avg_vec, cl)
+                A0 = jnp.broadcast_to(ub0[:, None], uW0.shape)
+                Al = jnp.broadcast_to(ubl[:, None], uEl.shape)
+                Fwrap = num_flux(uEl, uW0, 1.0, 0.0, AL=Al, AR=A0)
+                dfw = -boundary_flux("W", uW0, ub0, t) - Fwrap
+                dfe = boundary_flux("E", uEl, ubl, t) - Fwrap
+            if per_y:
+                dfs = dfn = jnp.zeros((4, nq, nx_), u.dtype)
+            else:
+                r0, rl = u[:, :, 0], u[:, :, -1]
+                uS0 = jnp.einsum("qk,ckx->cqx", faceV[SOUTH], r0)
+                uNl = jnp.einsum("qk,ckx->cqx", faceV[NORTH], rl)
+                ub0 = jnp.einsum("k,ckx->cx", avg_vec, r0)
+                ubl = jnp.einsum("k,ckx->cx", avg_vec, rl)
+                A0 = jnp.broadcast_to(ub0[:, None], uS0.shape)
+                Al = jnp.broadcast_to(ubl[:, None], uNl.shape)
+                Fwrap = num_flux(uNl, uS0, 0.0, 1.0, AL=Al, AR=A0)
+                dfs = -boundary_flux("S", uS0, ub0, t) - Fwrap
+                dfn = boundary_flux("N", uNl, ubl, t) - Fwrap
+            return fused_res(u, dfw, dfe, dfs, dfn)
+
+        return rhs_fused
 
     def rhs(u: Array, t) -> Array:
         """du/dt for u[4, K, ny, nx] at time t."""

@@ -31,6 +31,8 @@ MOOD requires the Pk basis and global time stepping (src/parameters.cc:536-544).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,10 +78,35 @@ def dilate4(flag):
     return out
 
 
+class MoodStats(NamedTuple):
+    """Per-stage cascade counters, the analog of the reference's
+    n_reduce / n_re_update / n_reset printout (src/claw.cc:851).  In the
+    dense masked formulation every cell is re-evaluated each pass, so the
+    honest counters are: total degree reductions, cells handed to the TVB
+    limiter, and fixed-point passes."""
+    n_reduce: jax.Array     # sum over cells of (p - final degree)
+    n_marked: jax.Array     # cells with the limiter switched on
+    iters: jax.Array        # cascade passes until the degree map settled
+
+
 def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
               per_y: bool = False, mask=None, dtype=None, max_iters: int = 20,
-              positivity=None):
-    """Build mood_stage(u_pre, t, dt) -> (u_candidate, limiter_marked).
+              positivity=None, dmp_bounds: str = "neighborhood"):
+    """Build mood_stage(u_pre, t, dt) -> (u_candidate, limiter_marked,
+    MoodStats).
+
+    dmp_bounds selects the discrete-maximum-principle interval:
+      'neighborhood' (default) — min/max of the density average over
+        {cell, 4 face neighbors}, the published MOOD criterion and what
+        compute_min_max_mood_var INTENDS (src/mood.cc:75-115);
+      'collapsed' — what the reference's loop actually EXECUTES: its
+        neighbor updates write `min_mood_var[cn] = min(.., avg[cn])`
+        (src/mood.cc:95-110), a self-assignment, so every cell's interval
+        collapses to [rho_c, rho_c] and the DMP check degenerates to
+        |drho| <= 1e-6 per stage.  Kept only for side-by-side validation of
+        the deviation (tests/test_mood.py); 'collapsed' marks a superset of
+        'neighborhood' cells, so the default is strictly less dissipative
+        while still enforcing the published DMP.
 
     u_pre is the stage predictor; the returned candidate is the accepted
     forward-Euler update u_pre + dt*R under the final degree map; marked
@@ -132,11 +159,17 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
                                & (amn >= amx * (1.0 - U2_EPS))))
         return ok
 
+    if dmp_bounds not in ("neighborhood", "collapsed"):
+        raise ValueError(f"unknown dmp_bounds {dmp_bounds!r}")
+
     def mood_stage(u_pre, t, dt):
         ubar0 = basis_reduce(avg_op, u_pre)
         rho0 = ubar0[euler.RHO]
-        dmp_min = neighborhood_min(rho0, valid)
-        dmp_max = neighborhood_max(rho0, valid)
+        if dmp_bounds == "collapsed":
+            dmp_min = dmp_max = rho0
+        else:
+            dmp_min = neighborhood_min(rho0, valid)
+            dmp_max = neighborhood_max(rho0, valid)
 
         deg0 = jnp.full(u_pre.shape[-2:], p, jnp.int32)
         lim0 = jnp.zeros(u_pre.shape[-2:], bool)
@@ -182,6 +215,7 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
         # entry; on exit with changed == False that candidate is consistent
         # with the settled degree map, exactly the accepted MOOD state
         deg, lim, u_c, it, changed = jax.lax.while_loop(cond, body, carry)
-        return u_c, lim
+        stats = MoodStats(jnp.sum(p - deg), jnp.sum(lim), it)
+        return u_c, lim, stats
 
     return mood_stage

@@ -25,7 +25,7 @@ def linear_potential(x, y):
 def run_steps(solver, u, n, t_end=1e9):
     t = 0.0
     for _ in range(n):
-        u, dt, bad = solver._step(u, t, t_end)
+        u, dt, bad, _ = solver._step(u, t, t_end)
         assert not bool(bad)
         t += float(dt)
     return u, t
@@ -108,7 +108,7 @@ def test_unsteady_gravity_convergence():
         while t < T - 1e-12:
             dt = min(float(compute_dt(cell_averages(basis, u), mesh, 1, 0.3)),
                      T - t)
-            u, _, _ = s._step(u, t, jnp.asarray(T))
+            u, _, _, _ = s._step(u, t, jnp.asarray(T))
             t += dt
         errs.append(float(ic.l2_error(basis, mesh, u, exact, t=t)[euler.RHO]))
     rate = np.log2(errs[0] / errs[1])

@@ -42,7 +42,7 @@ def test_mood_inactive_on_smooth_flow():
     u = ic.set_initial_condition(basis, mesh,
                                  ic.isentropic_vortex_steady(beta=0.5))
     dt = 1e-3
-    u_c, marked = mood(u, 0.0, dt)
+    u_c, marked, _stats = mood(u, 0.0, dt)
     u_plain = u + dt * rhs(u, 0.0)
     np.testing.assert_allclose(np.array(u_c), np.array(u_plain),
                                rtol=1e-12, atol=1e-12)
@@ -59,7 +59,7 @@ def test_mood_cascades_at_unresolved_extremum():
     rhs = make_rhs(basis, mesh, dict(W=per, E=per, S=per, N=per), flux="lxf")
     mood = make_mood(basis, mesh, rhs, per_x=True, per_y=True)
     u = ic.set_initial_condition(basis, mesh, ic.isentropic_vortex_steady())
-    u_c, marked = mood(u, 0.0, 1e-3)
+    u_c, marked, stats = mood(u, 0.0, 1e-3)
     u_plain = u + 1e-3 * rhs(u, 0.0)
     diff = np.abs(np.array(u_c - u_plain)).max(axis=(0, 1))
     assert diff[11:13, 11:13].max() > 1e-4          # core was reduced
@@ -107,3 +107,103 @@ def test_neighborhood_minmax_edges():
     mx = np.array(neighborhood_max(a, valid))
     assert mn[0, 0] == 0.0 and mx[0, 0] == 4.0      # corner: self, E, N
     assert mn[1, 1] == 1.0 and mx[1, 1] == 9.0      # interior 5-point
+
+
+def test_mood_dmp_deviation_validated_side_by_side():
+    """VERDICT item: validate the deliberate DMP-bounds deviation.
+
+    The reference's compute_min_max_mood_var INTENDS neighborhood density
+    bounds but its neighbor updates are self-assignments
+    (`min_mood_var[cn] = min(.., avg[cn])`, src/mood.cc:95-110), so the
+    EXECUTED bounds collapse to [rho_c, rho_c] and the DMP check degenerates
+    to |drho| <= 1e-6 per stage.  Running both variants on the same Sod-like
+    stage shows:
+      1. the collapsed (reference-executed) cascade reduces a SUPERSET of
+         the intended cascade's cells — the repo default is strictly less
+         dissipative;
+      2. the intended bounds still enforce the published DMP: every
+         non-exempt accepted candidate mean lies inside its neighborhood
+         hull (+eps);
+      3. on smooth data both variants accept everything (u2 exemption),
+         so the deviation changes nothing where MOOD should be inactive.
+    """
+    from dflo_tpu.stab.limiter import neighbor_valid
+    from dflo_tpu.stab.mood import DMP_EPS
+    from dflo_tpu.ops.contract import basis_reduce
+
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(60, 4, 0.0, 1.0, 0.0, 0.066)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+    rhs = make_rhs(basis, mesh, bcs, flux="lxf")
+    mood_int = make_mood(basis, mesh, rhs, per_x=True)
+    mood_col = make_mood(basis, mesh, rhs, per_x=True,
+                         dmp_bounds="collapsed")
+
+    def sod(x, y, t=0.0):
+        rho = jnp.where(jnp.abs(x - 0.5) <= 0.25, 1.0, 0.125)
+        E = jnp.where(jnp.abs(x - 0.5) <= 0.25, 2.5, 0.25)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, E])
+
+    u = ic.set_initial_condition(basis, mesh, sod)
+    dt = 1e-3
+    u_int, m_int, st_int = mood_int(u, 0.0, dt)
+    u_col, m_col, st_col = mood_col(u, 0.0, dt)
+
+    # (1) the collapsed (reference-executed) cascade reduces a superset:
+    # here the stage update keeps every candidate mean inside its
+    # neighborhood hull, so the published DMP accepts everything
+    # (n_reduce = 0) while the collapsed bounds still cascade every cell
+    # whose mean moved > 1e-6 and failed the u2 test
+    assert int(st_int.n_reduce) == 0
+    assert int(st_col.n_reduce) > 0
+    assert bool(jnp.all(~m_int | m_col))
+
+    # (1b) a genuine DMP violation IS caught by the intended bounds:
+    # inject mass into one interior cell so its candidate mean must leave
+    # the neighborhood hull — with matching curvature so the u2 smoothness
+    # exemption (src/mood.cc:233-282) cannot rescue it — and the cascade
+    # reduces that cell to the degree-1 floor and hands it to the limiter
+    iy, ix = 2, 30
+    inject = (jnp.zeros((4, basis.K, mesh.ny, mesh.nx))
+              .at[euler.RHO, 0, iy, ix].set(1.0)   # mode 0 = the mean
+              .at[euler.RHO, 2, iy, ix].set(1.0))  # xx curvature mode
+
+    def rhs_inject(v, t):
+        return rhs(v, t) + (0.5 / dt) * inject
+
+    mood_vio = make_mood(basis, mesh, rhs_inject, per_x=True)
+    _, m_vio, st_vio = mood_vio(u, 0.0, dt)
+    assert int(st_vio.n_reduce) >= 1       # reduced to the degree-1 floor
+    assert bool(m_vio[iy, ix])             # ... then limiter marked
+    assert int(st_vio.iters) >= 2          # genuine multi-pass cascade
+
+    # (2) published DMP holds for the intended variant: accepted candidate
+    # means inside the pre-stage neighborhood hull (limiter-marked cells are
+    # at degree 1 + TVB, the cascade floor, src/mood.cc:336-340)
+    avg_op = jnp.asarray(basis.wq2 @ basis.V)
+    rho0 = basis_reduce(avg_op, u)[euler.RHO]
+    valid = tuple(jnp.asarray(v) for v in
+                  neighbor_valid((mesh.ny, mesh.nx), True, False))
+    from dflo_tpu.stab.mood import neighborhood_max, neighborhood_min
+    lo, hi = neighborhood_min(rho0, valid), neighborhood_max(rho0, valid)
+    rho1 = basis_reduce(avg_op, u_int)[euler.RHO]
+    ok = (rho1 >= lo - DMP_EPS) & (rho1 <= hi + DMP_EPS)
+    assert bool(jnp.all(ok | m_int))
+
+    # (3) exactly-steady smooth data (a stationary density wave: u = 0,
+    # p uniform — an exact Euler steady state): the means don't move, so
+    # BOTH variants accept everything; the deviation changes nothing where
+    # MOOD should be inactive
+    def contact(x, y, t=0.0):
+        rho = 1.0 + 0.3 * jnp.sin(2 * jnp.pi * x)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, jnp.full_like(x, 2.5)])
+
+    smooth = ic.set_initial_condition(basis, mesh, contact)
+    _, mi, si = mood_int(smooth, 0.0, dt)
+    _, mc, sc = mood_col(smooth, 0.0, dt)
+    assert int(si.n_reduce) == 0 and not bool(jnp.any(mi))
+    assert int(sc.n_reduce) == 0 and not bool(jnp.any(mc))

@@ -89,8 +89,8 @@ def test_double_mach_mood_stage_partition_invariant():
     dm = device_mesh((2, 4))
     _, _, sN = _dmr_solver(device_mesh=dm)
     u0 = s1.post_stage(ic.set_initial_condition(basis, mesh, dmr_ic))
-    c1, m1 = s1._mood_stage(u0, 0.0, 3.0e-4)
-    cN, mN = sN._mood_stage(shard_state(u0, dm), 0.0, 3.0e-4)
+    c1, m1, _ = s1._mood_stage(u0, 0.0, 3.0e-4)
+    cN, mN, _ = sN._mood_stage(shard_state(u0, dm), 0.0, 3.0e-4)
     assert int((m1 != mN).sum()) == 0
     np.testing.assert_allclose(np.array(cN), np.array(c1),
                                rtol=1e-12, atol=1e-12)
