@@ -52,7 +52,7 @@ class Solver:
                  gmres_restart: int = 30, gmres_maxiter: int = 10,
                  fixed_time_step: float | None = None,
                  volume_kernel: str = "xla", precondition: str | None = None,
-                 time_step_type: str = "global"):
+                 time_step_type: str = "global", post_kernel: str = "xla"):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -139,6 +139,25 @@ class Solver:
             raise ValueError(f"unknown limiter type {cfg.type!r}")
         self._positivity = (make_positivity_limiter(basis, mesh, dtype)
                             if cfg.pos_lim else None)
+        self._fused_post = None
+        if post_kernel == "fused":
+            # one-VMEM-pass {averages -> indicator -> TVB -> positivity}
+            # chain; same eligibility envelope as volume_kernel='fused'
+            if (self.curvilinear or mask is not None or cfg.type != "TVB"
+                    or cfg.conserve_angular_momentum
+                    or cfg.shock_indicator not in ("density", "energy",
+                                                   "limiter")
+                    or basis.family != "Qk"
+                    or not basis.is_nodal_collocated):
+                raise ValueError("post_kernel='fused' covers the plain "
+                                 "Cartesian Qk TVB hot path only")
+            from dflo_tpu.ops.pallas_kernels import make_fused_post
+            self._fused_post = make_fused_post(
+                basis, mesh, indicator=cfg.shock_indicator, M=cfg.M,
+                beta=cfg.beta, char_lim=cfg.char_lim, pos_lim=cfg.pos_lim,
+                per_x=per_x, per_y=per_y, dtype=dtype)
+        elif post_kernel != "xla":
+            raise ValueError(f"unknown post kernel {post_kernel!r}")
 
         self.ark, self.stage_times = rk_mod.rk_coeffs(
             scheme or rk_mod.default_scheme(basis.degree))
@@ -179,6 +198,8 @@ class Solver:
 
     def post_stage(self, u, t=0.0):
         """Stabilization chain after each RK stage (src/claw.cc:762-766)."""
+        if self._fused_post is not None:
+            return self._fused_post(u)
         u = self.apply_mask(u)
         if self._limit is None and self._positivity is None:
             return u

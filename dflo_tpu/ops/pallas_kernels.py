@@ -187,17 +187,27 @@ def _fused_kernel(trc_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
 
     A_c = jnp.broadcast_to(ub[:, None], uW.shape)
 
-    # ---- x interfaces: west face per column, east face per column ------
+    # ---- x interfaces ---------------------------------------------------
+    # evaluate each interface flux ONCE: the west-face flux of every
+    # column, plus the single east-face flux of the last column (whose
+    # interface belongs to the right halo); east faces of interior columns
+    # are the next column's west flux, shifted in
     A_lf = jnp.broadcast_to(ub_lf[:, None], uE_lf.shape)
     Fw_all = num_flux(uE_lf, uW, 1.0, 0.0, AL=A_lf, AR=A_c)  # [4,nq,ty,tx]
-    A_rt = jnp.broadcast_to(ub_rt[:, None], uW_rt.shape)
-    Fe_all = num_flux(uE, uW_rt, 1.0, 0.0, AL=A_c, AR=A_rt)
+    Fe_last = num_flux(uE[..., tx - 1:tx], uW_rt[..., tx - 1:tx], 1.0, 0.0,
+                       AL=A_c[..., tx - 1:tx],
+                       AR=jnp.broadcast_to(ub_rt[:, None],
+                                           uW_rt.shape)[..., tx - 1:tx])
+    Fe_all = shift_cols_left(Fw_all, Fe_last, colq)
 
     # ---- y interfaces ---------------------------------------------------
     A_up = jnp.broadcast_to(ub_up[:, None], uN_up.shape)
     Fs_all = num_flux(uN_up, uS, 0.0, 1.0, AL=A_up, AR=A_c)
-    A_dn = jnp.broadcast_to(ub_dn[:, None], uS_dn.shape)
-    Fn_all = num_flux(uN, uS_dn, 0.0, 1.0, AL=A_c, AR=A_dn)
+    Fn_last = num_flux(uN[..., ty - 1:ty, :], uS_dn[..., ty - 1:ty, :],
+                       0.0, 1.0, AL=A_c[..., ty - 1:ty, :],
+                       AR=jnp.broadcast_to(ub_dn[:, None],
+                                           uS_dn.shape)[..., ty - 1:ty, :])
+    Fn_all = shift_rows_up(Fs_all, Fn_last, rowq)
 
     # ---- boundary corrections (delta fluxes, precomputed outside) ------
     # one-hot masked adds: .at[].add lowers to scatter-add, which Mosaic
@@ -317,3 +327,311 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
         return fused(u, dfw, dfe, dfs, dfn, interpret=not on_tpu)
 
     return fused_residual
+
+
+# ---------------------------------------------------------------------------
+# Fused stabilization chain: {cell averages -> KXRCF indicator -> TVB
+# (characteristic) limiter -> Zhang-Shu positivity} in ONE VMEM pass.
+#
+# post_stage costs more than the fused residual on the XLA path (the chain
+# materializes averages, traces, eigen matrices and the rebuilt state in
+# HBM); the stencil structure is identical to the residual (4-neighbor),
+# so the same 5-tile periodic-wrapped halo layout applies.  Supports the
+# production hot path: Qk nodal basis, Cartesian mesh, no mask,
+# density/energy/limiter indicator, TVB limiter (optionally
+# characteristic), optional positivity.  Numerically identical to
+# stab/indicator.py + stab/limiter.py + stab/positivity.py.
+# ---------------------------------------------------------------------------
+
+
+def make_fused_post(basis, mesh, *, indicator: str = "density",
+                    M: float = 0.0, beta: float = 1.0,
+                    char_lim: bool = False, pos_lim: bool = True,
+                    per_x: bool = False, per_y: bool = False,
+                    dtype=jnp.float32):
+    """Build post(u) -> u_limited, the fused per-stage stabilization chain.
+
+    Equivalent (to f32 roundoff) to Solver.post_stage for the supported
+    configuration; cites the same reference passes:
+    indicator src/indicator.cc:48-198, TVB src/limiter.cc:224-370,
+    positivity src/positivity.cc:16-208.
+    """
+    from dflo_tpu.physics import euler as _euler
+    from dflo_tpu.stab.positivity import EPS, _pos_points
+
+    if basis.family != "Qk" or not basis.is_nodal_collocated:
+        raise ValueError("fused post needs the collocated Qk basis")
+    if indicator not in ("density", "energy", "limiter"):
+        raise ValueError(f"fused post does not support indicator "
+                         f"{indicator!r}")
+    p = basis.degree
+    K, nq = basis.K, basis.nq
+    dx, dy = mesh.dx, mesh.dy
+    h = mesh.diameter_h
+    diam = float(np.sqrt(dx * dx + dy * dy))
+    Mdx2 = M * h * h
+    comp = {"density": euler.RHO, "energy": euler.ENE,
+            "limiter": euler.RHO}[indicator]
+    mark_all = indicator == "limiter"
+
+    # closure operator constants (small; become vector constants in-kernel).
+    # Quadrature weights are baked into the face-trace operator so the
+    # indicator's face integral is a plain axis sum, and the nodal linear
+    # rebuild is a [K,3] matmul over stacked [ub, Dxn, Dyn] — both avoid
+    # 1-D -> 3-D broadcasts that Mosaic's layout inference rejects.
+    trcd_np = np.concatenate([basis.wq[:, None] * basis.faceV[f]
+                              for f in range(4)], axis=0)
+    avg_np = (basis.wq2 @ basis.V)[None]            # [1, K]
+    gx_np = (basis.wq2 @ basis.Gx)[None]
+    gy_np = (basis.wq2 @ basis.Gy)[None]
+    P_np = basis.eval_at(_pos_points(p))            # [Qp, K]
+    reb_np = np.stack([np.ones(K),
+                       (basis.nodes[:, 0] - 0.5) * dx / h,
+                       (basis.nodes[:, 1] - 0.5) * dy / h], axis=1)  # [K,3]
+
+    def kernel(trcd_ref, ops1_ref, P_ref, reb_ref,
+               u_ref, up_ref, dn_ref, lf_ref, rt_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        n_i = pl.num_programs(0)
+        n_j = pl.num_programs(1)
+        W = u_ref[:]
+        c, k, ty, tx = W.shape
+        f32 = W.dtype
+        trcd = trcd_ref[:]
+        avg = ops1_ref[0:1]
+        gx = ops1_ref[1:2]
+        gy = ops1_ref[2:3]
+        P = P_ref[:]
+
+        def rowmat(op, tile):
+            """[m, K] x [4, K, ty, tx] -> [4, m, ty, tx]."""
+            c_, _k, ty_, tx_ = tile.shape
+            flat = jnp.moveaxis(tile, 1, 0).reshape(K, c_ * ty_ * tx_)
+            r = jnp.dot(op, flat, preferred_element_type=f32)
+            return jnp.moveaxis(r.reshape(op.shape[0], c_, ty_, tx_), 1, 0)
+
+        def avg_of(tile):
+            return rowmat(avg, tile)[:, 0]          # [4, ty, tx]
+
+        ub = avg_of(W)
+        ub_up_t = avg_of(up_ref[:])
+        ub_dn_t = avg_of(dn_ref[:])
+        ub_lf_t = avg_of(lf_ref[:])
+        ub_rt_t = avg_of(rt_ref[:])
+
+        rowq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
+        colq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tx), 3)
+        row2 = rowq[:, 0]
+        col2 = colq[:, 0]
+
+        def sh_dn(a, halo, iota):      # value from row above (r-1)
+            return jnp.where(iota == 0, halo[..., ty - 1:ty, :],
+                             jnp.roll(a, 1, axis=-2))
+
+        def sh_up(a, halo, iota):      # value from row below (r+1)
+            return jnp.where(iota == ty - 1, halo[..., 0:1, :],
+                             jnp.roll(a, -1, axis=-2))
+
+        def sh_rt(a, halo, iota):      # value from column left (c-1)
+            return jnp.where(iota == 0, halo[..., tx - 1:tx],
+                             jnp.roll(a, 1, axis=-1))
+
+        def sh_lf(a, halo, iota):      # value from column right (c+1)
+            return jnp.where(iota == tx - 1, halo[..., 0:1],
+                             jnp.roll(a, -1, axis=-1))
+
+        ub_W = sh_rt(ub, ub_lf_t, col2)             # west-neighbor averages
+        ub_E = sh_lf(ub, ub_rt_t, col2)
+        ub_S = sh_dn(ub, ub_up_t, row2)
+        ub_N = sh_up(ub, ub_dn_t, row2)
+
+        # neighbor-exists flags (global edges unless periodic)
+        one = jnp.ones((1, ty, tx), f32)
+        vW = one if per_x else \
+            jnp.where((j == 0) & (col2 == 0), 0.0, one)
+        vE = one if per_x else \
+            jnp.where((j == n_j - 1) & (col2 == tx - 1), 0.0, one)
+        vS = one if per_y else \
+            jnp.where((i == 0) & (row2 == 0), 0.0, one)
+        vN = one if per_y else \
+            jnp.where((i == n_i - 1) & (row2 == ty - 1), 0.0, one)
+
+        # ---- KXRCF shock indicator (src/indicator.cc:48-198) -----------
+        if mark_all:
+            active0 = jnp.ones((ty, tx), bool)
+        else:
+            def dtr(tile):
+                v = jnp.moveaxis(tile[comp], 0, 0).reshape(K, -1)
+                r = jnp.dot(trcd, v, preferred_element_type=f32)
+                r = r.reshape(4 * nq, tile.shape[2], tile.shape[3])
+                return (r[0 * nq:1 * nq], r[1 * nq:2 * nq],
+                        r[2 * nq:3 * nq], r[3 * nq:4 * nq])
+
+            tW, tE, tS, tN = dtr(W)
+            _, lf_tE, _, _ = dtr(lf_ref[:])
+            rt_tW, _, _, _ = dtr(rt_ref[:])
+            _, _, _, up_tN = dtr(up_ref[:])
+            _, _, dn_tS, _ = dtr(dn_ref[:])
+            jW = (tW - sh_rt(tE, lf_tE, colq[0])) * vW
+            jE = (tE - sh_lf(tW, rt_tW, colq[0])) * vE
+            jS = (tS - sh_dn(tN, up_tN, rowq[0])) * vS
+            jN = (tN - sh_up(tS, dn_tS, rowq[0])) * vN
+
+            vx = ub[euler.MX] / ub[euler.RHO]
+            vy = ub[euler.MY] / ub[euler.RHO]
+            inW = (-vx < 0) * vW[0]
+            inE = (vx < 0) * vE[0]
+            inS = (-vy < 0) * vS[0]
+            inN = (vy < 0) * vN[0]
+
+            def fint(jv):
+                # weights already folded into trcd
+                return jnp.sum(jv, axis=0)
+
+            ind = (inW * fint(jW) + inE * fint(jE)) * dy \
+                + (inS * fint(jS) + inN * fint(jN)) * dx
+            measure = (inW + inE) * dy + (inS + inN) * dx
+            denom = diam ** (0.5 * (p + 1)) * measure * ub[comp]
+            shock = jnp.where(jnp.abs(denom) > 0.0,
+                              jnp.abs(ind) / jnp.where(denom == 0.0, 1.0,
+                                                       denom), 0.0)
+            active0 = shock > 1.0
+
+        # ---- TVB limiter (src/limiter.cc:224-370) ----------------------
+        Dx = (h / dx) * rowmat(gx, W)[:, 0]
+        Dy = (h / dy) * rowmat(gy, W)[:, 0]
+        dbx = jnp.where(vW > 0, ub - ub_W, Dx)
+        dfx = jnp.where(vE > 0, ub_E - ub, Dx)
+        dby = jnp.where(vS > 0, ub - ub_S, Dy)
+        dfy = jnp.where(vN > 0, ub_N - ub, Dy)
+
+        if char_lim:
+            Rx, Lx, Ry, Ly = _euler.eigen_matrices(ub)
+            cDx = _euler.to_characteristic(Lx, Dx)
+            cDy = _euler.to_characteristic(Ly, Dy)
+            cdbx = _euler.to_characteristic(Lx, dbx)
+            cdfx = _euler.to_characteristic(Lx, dfx)
+            cdby = _euler.to_characteristic(Ly, dby)
+            cdfy = _euler.to_characteristic(Ly, dfy)
+        else:
+            cDx, cDy = Dx, Dy
+            cdbx, cdfx, cdby, cdfy = dbx, dfx, dby, dfy
+
+        def minmod(a, b, c_):
+            samesign = (a * b > 0) & (b * c_ > 0)
+            m = jnp.sign(a) * jnp.minimum(jnp.abs(a),
+                                          jnp.minimum(jnp.abs(b),
+                                                      jnp.abs(c_)))
+            return jnp.where(jnp.abs(a) < Mdx2, a,
+                             jnp.where(samesign, m, 0.0))
+
+        Dxn = minmod(cDx, beta * cdbx, beta * cdfx)
+        Dyn = minmod(cDy, beta * cdby, beta * cdfy)
+        change = (jnp.mean(jnp.abs(Dxn - cDx), axis=0)
+                  + jnp.mean(jnp.abs(Dyn - cDy), axis=0))
+        if char_lim:
+            Dxn = _euler.to_conserved(Rx, Dxn)
+            Dyn = _euler.to_conserved(Ry, Dyn)
+
+        S = jnp.stack([ub, Dxn, Dyn], axis=1)       # [4, 3, ty, tx]
+        Sf = jnp.moveaxis(S, 1, 0).reshape(3, -1)
+        u_lim = jnp.moveaxis(
+            jnp.dot(reb_ref[:], Sf,
+                    preferred_element_type=f32).reshape(K, c, ty, tx), 0, 1)
+        active = active0 & (change > 1.0e-10)
+        u1 = jnp.where(active[None, None], u_lim, W)
+
+        # ---- Zhang-Shu positivity (src/positivity.cc:16-208) -----------
+        if pos_lim:
+            Wp = rowmat(P, u1)                      # [4, Qp, ty, tx]
+            rho_min = jnp.min(Wp[euler.RHO], axis=0)
+            rho_avg = ub[euler.RHO]
+            rat = (jnp.abs(rho_avg - EPS)
+                   / (jnp.abs(rho_avg - rho_min) + 1.0e-13))
+            theta1 = jnp.minimum(rat, 1.0)
+            u1 = jnp.where(
+                (jax.lax.broadcasted_iota(jnp.int32, (c, 1, 1, 1), 0)
+                 == euler.RHO),
+                u1 * theta1[None, None] + ub[:, None] * (1 - theta1[None, None]),
+                u1)
+            Wp = jnp.where(
+                (jax.lax.broadcasted_iota(jnp.int32, (c, 1, 1, 1), 0)
+                 == euler.RHO),
+                Wp * theta1[None, None] + ub[euler.RHO][None, None]
+                * (1 - theta1[None, None]),
+                Wp)
+            pre = _euler.pressure(Wp)
+            d = Wp - ub[:, None]
+            drho, dE = d[euler.RHO], d[euler.ENE]
+            dmx, dmy = d[euler.MX], d[euler.MY]
+            mavg_x, mavg_y = ub[euler.MX][None], ub[euler.MY][None]
+            ravg, Eavg = ub[euler.RHO][None], ub[euler.ENE][None]
+            a1 = 2.0 * drho * dE - (dmx * dmx + dmy * dmy)
+            b1 = (2.0 * drho * (Eavg - EPS / (euler.GAMMA - 1.0))
+                  + 2.0 * ravg * dE - 2.0 * (mavg_x * dmx + mavg_y * dmy))
+            c1 = (2.0 * ravg * Eavg - (mavg_x**2 + mavg_y**2)
+                  - 2.0 * EPS * ravg / (euler.GAMMA - 1.0))
+            a1s = jnp.where(a1 == 0.0, 1.0, a1)
+            b1n, c1n = b1 / a1s, c1 / a1s
+            Dq = jnp.sqrt(jnp.abs(b1n * b1n - 4.0 * c1n))
+            t1 = 0.5 * (-b1n - Dq)
+            t2 = 0.5 * (-b1n + Dq)
+            t1_ok = (t1 > -1.0e-12) & (t1 < 1.0 + 1.0e-12)
+            t = jnp.where(t1_ok, t1, t2)
+            t = jnp.clip(t, 0.0, 1.0)
+            t = jnp.where(jnp.abs(1.0 - t) < 1.0e-14, 0.0, t)
+            t = jnp.where(pre < EPS, t, 1.0)
+            theta2 = jnp.min(t, axis=0)
+            u1 = u1 * theta2[None, None] + ub[:, None] * (1 - theta2[None, None])
+
+        out_ref[:] = u1
+
+    @functools.partial(jax.jit, static_argnames=("interpret",))
+    def call(u, interpret=False):
+        c, k, ny, nx = u.shape
+        TY = 8
+        while ny % TY:
+            TY //= 2
+        TX = nx
+        for cand in (512, 384, 256, 128):
+            if nx % cand == 0:
+                TX = cand
+                break
+        ni, nj = ny // TY, nx // TX
+        spec_u = pl.BlockSpec((c, k, TY, TX), lambda i, j: (0, 0, i, j),
+                              memory_space=pltpu.VMEM)
+        spec_up = pl.BlockSpec((c, k, TY, TX),
+                               lambda i, j: (0, 0, (i - 1) % ni, j),
+                               memory_space=pltpu.VMEM)
+        spec_dn = pl.BlockSpec((c, k, TY, TX),
+                               lambda i, j: (0, 0, (i + 1) % ni, j),
+                               memory_space=pltpu.VMEM)
+        spec_lf = pl.BlockSpec((c, k, TY, TX),
+                               lambda i, j: (0, 0, i, (j - 1) % nj),
+                               memory_space=pltpu.VMEM)
+        spec_rt = pl.BlockSpec((c, k, TY, TX),
+                               lambda i, j: (0, 0, i, (j + 1) % nj),
+                               memory_space=pltpu.VMEM)
+        spec_op = lambda sh: pl.BlockSpec(  # noqa: E731
+            sh, lambda i, j: tuple(0 for _ in sh), memory_space=pltpu.VMEM)
+        trcd = jnp.asarray(trcd_np, u.dtype)
+        ops1 = jnp.asarray(np.concatenate([avg_np, gx_np, gy_np]), u.dtype)
+        P = jnp.asarray(P_np, u.dtype)
+        reb = jnp.asarray(reb_np, u.dtype)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+            grid=(ni, nj),
+            in_specs=[spec_op(trcd.shape), spec_op(ops1.shape),
+                      spec_op(P.shape), spec_op(reb.shape),
+                      spec_u, spec_up, spec_dn, spec_lf, spec_rt],
+            out_specs=spec_u,
+            interpret=interpret,
+        )(trcd, ops1, P, reb, u, u, u, u, u)
+
+    def fused_post(u):
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        return call(u, interpret=not on_tpu)
+
+    return fused_post

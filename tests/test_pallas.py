@@ -70,6 +70,103 @@ def test_fused_residual_matches_xla_all_bc_combos():
             assert rel < 1e-12, (name, flx, rel)
 
 
+def test_fused_post_matches_xla_chain():
+    """The fused stabilization kernel (ops/pallas_kernels.make_fused_post:
+    averages + KXRCF indicator + TVB limiter + Zhang-Shu positivity in one
+    VMEM pass) equals the XLA chain {make_shock_indicator -> make_tvb_limiter
+    -> make_positivity_limiter} to roundoff across indicator kinds,
+    characteristic limiting, positivity on/off, and BC layouts."""
+    from dflo_tpu.ops.contract import basis_reduce
+    from dflo_tpu.ops.pallas_kernels import make_fused_post
+    from dflo_tpu.stab.indicator import make_shock_indicator
+    from dflo_tpu.stab.limiter import make_tvb_limiter
+    from dflo_tpu.stab.positivity import make_positivity_limiter
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(256, 16, 0.0, 4.0, 0.0, 1.0)
+
+    def dmr_ic(x, y, t=0.0):
+        post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))
+        rho = jnp.where(post, 8.0, 1.4)
+        vx = jnp.where(post, 7.14471, 0.0)
+        vy = jnp.where(post, -4.125, 0.0)
+        p = jnp.where(post, 116.5, 1.0)
+        return jnp.stack([rho * vx, rho * vy, rho,
+                          p / (euler.GAMMA - 1.0)
+                          + 0.5 * rho * (vx**2 + vy**2)])
+
+    u = ic.set_initial_condition(basis, mesh, dmr_ic)
+    avg_op = jnp.asarray(basis.wq2 @ basis.V)
+
+    for ind_kind in ("density", "energy", "limiter"):
+        for char_lim in (False, True):
+            for pos_lim in (True, False):
+                for per in ((False, False), (True, True)):
+                    per_x, per_y = per
+                    ubar = basis_reduce(avg_op, u)
+                    indicator = make_shock_indicator(
+                        basis, mesh, ind_kind, per_x, per_y)
+                    shock, _ = indicator(u, ubar, 0.0)
+                    limit = make_tvb_limiter(
+                        basis, mesh, M=10.0, char_lim=char_lim,
+                        per_x=per_x, per_y=per_y)
+                    ux = limit(u, ubar, shock)
+                    if pos_lim:
+                        ux = make_positivity_limiter(basis, mesh)(ux, ubar)
+                    uf = make_fused_post(
+                        basis, mesh, indicator=ind_kind, M=10.0,
+                        char_lim=char_lim, pos_lim=pos_lim,
+                        per_x=per_x, per_y=per_y)(u)
+                    rel = (float(jnp.abs(ux - uf).max())
+                           / float(jnp.abs(ux).max()))
+                    assert rel < 1e-12, (ind_kind, char_lim, pos_lim,
+                                         per, rel)
+
+
+def test_solver_with_fused_kernels_matches_xla_steps():
+    """Solver(post_kernel='fused', volume_kernel='fused') steps bit-match
+    the XLA solver on the shocked double-mach hot path."""
+    from dflo_tpu.driver import LimiterConfig, Solver
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(128, 16, 0.0, 4.0, 0.0, 1.0)
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 8.0 * 7.14471), jnp.full_like(x, -8.0 * 4.125),
+         jnp.full_like(x, 8.0),
+         jnp.full_like(x, 116.5 / (euler.GAMMA - 1.0)
+                       + 0.5 * 8.0 * (7.14471**2 + 4.125**2))])
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_FARFIELD, inflow))
+    lim = LimiterConfig(type="TVB", shock_indicator="density", beta=2.0,
+                        char_lim=True, pos_lim=True)
+
+    def dmr_ic(x, y, t=0.0):
+        post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))
+        rho = jnp.where(post, 8.0, 1.4)
+        vx = jnp.where(post, 7.14471, 0.0)
+        vy = jnp.where(post, -4.125, 0.0)
+        p = jnp.where(post, 116.5, 1.0)
+        return jnp.stack([rho * vx, rho * vy, rho,
+                          p / (euler.GAMMA - 1.0)
+                          + 0.5 * rho * (vx**2 + vy**2)])
+
+    u0 = ic.set_initial_condition(basis, mesh, dmr_ic)
+    sx = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5)
+    sf = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5,
+                volume_kernel="fused", post_kernel="fused")
+    ux, uf = sx.post_stage(u0), sf.post_stage(u0)
+    tx = tf = 0.0
+    for _ in range(5):
+        ux, dtx, _, _ = sx._step(ux, tx, 1.0)
+        uf, dtf, _, _ = sf._step(uf, tf, 1.0)
+        tx, tf = tx + float(dtx), tf + float(dtf)
+    assert abs(tx - tf) < 1e-13 * max(tx, 1.0)
+    rel = float(jnp.abs(ux - uf).max()) / float(jnp.abs(ux).max())
+    assert rel < 1e-11, rel
+
+
 def test_fused_conservation():
     """One-flux-per-interface-side with identical operands: the fused
     kernel's residual must conserve mass/momentum/energy exactly on a
