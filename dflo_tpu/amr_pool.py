@@ -43,7 +43,7 @@ import numpy as np
 
 from dflo_tpu.ops import basis as basis_mod
 from dflo_tpu.ops.basis import WEST, EAST, SOUTH, NORTH
-from dflo_tpu.ops.contract import basis_apply
+from dflo_tpu.ops.contract import PRECISION, basis_apply
 from dflo_tpu.physics import euler
 from dflo_tpu.physics.fluxes import get_flux
 from dflo_tpu.solver.spatial import BoundarySide, _as_segmented
@@ -541,8 +541,8 @@ class AMRSolver:
                 # coarse neighbor trace, prolonged to my m faces
                 if lv > 0:
                     co = edges[lv - 1][okey][:, :, tb["nbr_co"][s]]
-                    coA = jnp.einsum("qr,crpj->cqpj", self.PrA, co)
-                    coB = jnp.einsum("qr,crpj->cqpj", self.PrB, co)
+                    coA = jnp.einsum("qr,crpj->cqpj", self.PrA, co, precision=PRECISION)
+                    coB = jnp.einsum("qr,crpj->cqpj", self.PrB, co, precision=PRECISION)
                     co_tr = _interleave(coA, coB)
                     co_av = jnp.repeat(
                         edges[lv - 1][oakey][:, tb["nbr_co"][s]], 2, axis=-1)
@@ -584,8 +584,8 @@ class AMRSolver:
                 if lv < self.max_level:
                     fn_tr = edges[lv + 1][okey][:, :, tb["nbr_fi"][s]]
                     # my trace prolonged to the 2m subfaces
-                    myA_tr = jnp.einsum("qr,crpj->cqpj", self.PrA, my_tr)
-                    myB_tr = jnp.einsum("qr,crpj->cqpj", self.PrB, my_tr)
+                    myA_tr = jnp.einsum("qr,crpj->cqpj", self.PrA, my_tr, precision=PRECISION)
+                    myB_tr = jnp.einsum("qr,crpj->cqpj", self.PrB, my_tr, precision=PRECISION)
                     my_sub = _interleave(myA_tr, myB_tr)   # [4, nq, P, 2m]
                     fn_av = edges[lv + 1][oakey][:, tb["nbr_fi"][s]]
                     my_av2 = jnp.repeat(my_av, 2, axis=-1)
@@ -604,8 +604,8 @@ class AMRSolver:
                         Fs = self.num_flux(my_sub, fn_tr, 0.0, 1.0,
                                            AL=mA, AR=fA)
                     LA, LB = self.Lsub[s]
-                    cf = (jnp.einsum("qk,cqpj->ckpj", LA, Fs[..., 0::2])
-                          + jnp.einsum("qk,cqpj->ckpj", LB, Fs[..., 1::2]))
+                    cf = (jnp.einsum("qk,cqpj->ckpj", LA, Fs[..., 0::2], precision=PRECISION)
+                          + jnp.einsum("qk,cqpj->ckpj", LB, Fs[..., 1::2], precision=PRECISION))
                     contrib = jnp.where(kind[None, None, :, None] == FINE,
                                         cf, contrib)
 

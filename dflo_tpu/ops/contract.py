@@ -11,7 +11,18 @@ place.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Full-f32 matmuls everywhere: the TPU default (bf16 passes, ~1e-3
+# relative) is unacceptable for a production solver whose limiters key on
+# 1e-10-level slope changes; the basis operators are tiny-K and the paths
+# that use them are HBM-bound, so HIGHEST costs nothing measurable.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _mm(M, flat):
+    return jnp.matmul(M, flat, precision=PRECISION)
 
 
 def basis_apply(M, u):
@@ -22,7 +33,7 @@ def basis_apply(M, u):
     c, K = u.shape[:2]
     rest = u.shape[2:]
     flat = jnp.moveaxis(u, 1, 0).reshape(K, -1)
-    out = (M @ flat).reshape((M.shape[0], c) + rest)
+    out = _mm(M, flat).reshape((M.shape[0], c) + rest)
     return jnp.moveaxis(out, 0, 1)
 
 
@@ -35,7 +46,7 @@ def basis_apply1(M, u):
     """[Q, K] x [K, *rest] -> [Q, *rest] (single-component variant)."""
     K = u.shape[0]
     rest = u.shape[1:]
-    return (M @ u.reshape(K, -1)).reshape((M.shape[0],) + rest)
+    return _mm(M, u.reshape(K, -1)).reshape((M.shape[0],) + rest)
 
 
 def quad_reduce1(w, F):

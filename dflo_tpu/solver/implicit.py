@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from dflo_tpu.solver import rk as rk_mod
+from dflo_tpu.ops.contract import PRECISION
 
 #: absolute Newton stopping tolerance (src/claw.cc:925-927)
 NEWTON_ATOL = 1.0e-10
@@ -80,7 +81,7 @@ def make_block_jacobi(F: Callable, u, n_comp: int = 4):
 
     def Minv(v):
         vb = jnp.transpose(v.reshape(n, ny, nx), (1, 2, 0))
-        out = jnp.einsum("yxij,yxj->yxi", Jinv, vb)
+        out = jnp.einsum("yxij,yxj->yxi", Jinv, vb, precision=PRECISION)
         return jnp.transpose(out, (2, 0, 1)).reshape(c, K, ny, nx)
 
     return Minv

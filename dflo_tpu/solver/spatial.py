@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dflo_tpu.ops import basis as basis_mod
-from dflo_tpu.ops.contract import basis_apply, basis_apply1, basis_reduce
+from dflo_tpu.ops.contract import (PRECISION, basis_apply, basis_apply1,
+                                   basis_reduce)
 from dflo_tpu.ops.basis import WEST, EAST, SOUTH, NORTH
 from dflo_tpu.physics import euler
 from dflo_tpu.physics.fluxes import get_flux
@@ -263,10 +264,10 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 dfw = dfe = jnp.zeros((4, nq, ny_), u.dtype)
             else:
                 c0, cl = u[:, :, :, 0], u[:, :, :, -1]
-                uW0 = jnp.einsum("qk,cky->cqy", faceV[WEST], c0)
-                uEl = jnp.einsum("qk,cky->cqy", faceV[EAST], cl)
-                ub0 = jnp.einsum("k,cky->cy", avg_vec, c0)
-                ubl = jnp.einsum("k,cky->cy", avg_vec, cl)
+                uW0 = jnp.einsum("qk,cky->cqy", faceV[WEST], c0, precision=PRECISION)
+                uEl = jnp.einsum("qk,cky->cqy", faceV[EAST], cl, precision=PRECISION)
+                ub0 = jnp.einsum("k,cky->cy", avg_vec, c0, precision=PRECISION)
+                ubl = jnp.einsum("k,cky->cy", avg_vec, cl, precision=PRECISION)
                 A0 = jnp.broadcast_to(ub0[:, None], uW0.shape)
                 Al = jnp.broadcast_to(ubl[:, None], uEl.shape)
                 Fwrap = num_flux(uEl, uW0, 1.0, 0.0, AL=Al, AR=A0)
@@ -276,10 +277,10 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 dfs = dfn = jnp.zeros((4, nq, nx_), u.dtype)
             else:
                 r0, rl = u[:, :, 0], u[:, :, -1]
-                uS0 = jnp.einsum("qk,ckx->cqx", faceV[SOUTH], r0)
-                uNl = jnp.einsum("qk,ckx->cqx", faceV[NORTH], rl)
-                ub0 = jnp.einsum("k,ckx->cx", avg_vec, r0)
-                ubl = jnp.einsum("k,ckx->cx", avg_vec, rl)
+                uS0 = jnp.einsum("qk,ckx->cqx", faceV[SOUTH], r0, precision=PRECISION)
+                uNl = jnp.einsum("qk,ckx->cqx", faceV[NORTH], rl, precision=PRECISION)
+                ub0 = jnp.einsum("k,ckx->cx", avg_vec, r0, precision=PRECISION)
+                ubl = jnp.einsum("k,ckx->cx", avg_vec, rl, precision=PRECISION)
                 A0 = jnp.broadcast_to(ub0[:, None], uS0.shape)
                 Al = jnp.broadcast_to(ubl[:, None], uNl.shape)
                 Fwrap = num_flux(uNl, uS0, 0.0, 1.0, AL=Al, AR=A0)

@@ -155,7 +155,7 @@ def make_rhs_unstructured(basis: basis_mod.Basis, mesh,
         Gxn = cast(basis.Gx)       # nodal derivative matrices (V = I)
         Gyn = cast(basis.Gy)
 
-    from dflo_tpu.ops.contract import basis_apply
+    from dflo_tpu.ops.contract import PRECISION, basis_apply
 
     def averages(u):
         num = jnp.sum((w2[:, None] * detJc)[None] * u, axis=1)
@@ -209,9 +209,9 @@ def make_rhs_unstructured(basis: basis_mod.Basis, mesh,
             what = 0.5 * (wL + wR)                             # [nq, Nf]
             Fw_f = jnp.stack([what * nxL * lenF[None],
                               what * nyL * lenF[None]])        # [2, nq, Nf]
-            dL = jnp.einsum("cqf,fqk->ckf", Fw_f, liftL)
+            dL = jnp.einsum("cqf,fqk->ckf", Fw_f, liftL, precision=PRECISION)
             FwR = jnp.where(flip, Fw_f[:, ::-1, :], Fw_f)
-            dR = jnp.einsum("cqf,fqk->ckf", FwR, liftR)
+            dR = jnp.einsum("cqf,fqk->ckf", FwR, liftR, precision=PRECISION)
             Pm = Pm.at[:, :, fcl].add(-dL)
             Pm = Pm.at[:, :, fcr].add(dR)
             # boundary faces: one-sided w-hat (equals the Riemann pressure
@@ -219,7 +219,7 @@ def make_rhs_unstructured(basis: basis_mod.Basis, mesh,
             wB = Tw4[:, gb]
             FwB = jnp.stack([wB * nxB * lenB[None],
                              wB * nyB * lenB[None]])
-            dB = jnp.einsum("cqf,fqk->ckf", FwB, liftB)
+            dB = jnp.einsum("cqf,fqk->ckf", FwB, liftB, precision=PRECISION)
             Pm = Pm.at[:, :, bcell].add(-dB)
             # S_m = -(rho/E) . M^{-1} Pm, applied pre-mass-solve (diagonal
             # mass commutes with the nodal scaling)
@@ -245,9 +245,9 @@ def make_rhs_unstructured(basis: basis_mod.Basis, mesh,
         F = num_flux(UL, UR, nxL, nyL, AL=AL, AR=AR)         # [4, nq, Nf]
         Fw = F * lenF[None, None]
         # lift with the per-face operators and scatter-add to both cells
-        dL = jnp.einsum("cqf,fqk->ckf", Fw, liftL)
+        dL = jnp.einsum("cqf,fqk->ckf", Fw, liftL, precision=PRECISION)
         FwR = jnp.where(flip, Fw[:, ::-1, :], Fw)
-        dR = jnp.einsum("cqf,fqk->ckf", FwR, liftR)
+        dR = jnp.einsum("cqf,fqk->ckf", FwR, liftR, precision=PRECISION)
         R = R.at[:, :, fcl].add(-dL)
         R = R.at[:, :, fcr].add(dR)
 
@@ -265,7 +265,7 @@ def make_rhs_unstructured(basis: basis_mod.Basis, mesh,
                 seg_id[None, None, :] == si, g, ghost)
         Ab = jnp.broadcast_to(ub[:, None, bcell], TB.shape)
         FB = num_flux(TB, ghost, nxB, nyB, AL=Ab, AR=Ab) * lenB[None, None]
-        dB = jnp.einsum("cqf,fqk->ckf", FB, liftB)
+        dB = jnp.einsum("cqf,fqk->ckf", FB, liftB, precision=PRECISION)
         R = R.at[:, :, bcell].add(-dB)
 
         return R * minv_field[None]
