@@ -370,6 +370,18 @@ def main(argv=None):
     unstructured = isinstance(solver, UnstructuredSolver)
     solver_method = getattr(solver, "method", "rk")
 
+    # mu_shock diagnostic field (src/mu_shock.cc:288-374, written with the
+    # solution in src/output.cc:95-105); ghost-state boundary jumps
+    mu_fn = None
+    if (params.diffusion_coef != 0.0 and not unstructured
+            and not getattr(solver, "curvilinear", False)):
+        from dflo_tpu.physics import euler as _euler
+        from dflo_tpu.stab.mushock import make_mu_shock
+        per_x = getattr(solver.bcs["W"], "kind", None) == _euler.BC_PERIODIC
+        per_y = getattr(solver.bcs["S"], "kind", None) == _euler.BC_PERIODIC
+        mu_fn = jax.jit(make_mu_shock(basis, mesh, params.diffusion_coef,
+                                      per_x, per_y, bcs=solver.bcs))
+
     def write_snapshot(u, t):
         with timer("Output"):
             if dm is not None and not unstructured \
@@ -395,8 +407,13 @@ def main(argv=None):
             else:
                 path = os.path.join(args.output_dir,
                                     f"solution-{snap[0]:03d}.vtu")
+                extra = None
+                if mu_fn is not None:
+                    extra = {"mu_shock": np.asarray(
+                        mu_fn(u, solver.cell_averages(u), t))}
                 write_vtu(path, basis, mesh, np.asarray(u), t=t,
-                          schlieren=params.output.schlieren_plot, mask=mask)
+                          schlieren=params.output.schlieren_plot, mask=mask,
+                          extra_cell_fields=extra)
         if unstructured:
             snap[0] += 1
             return

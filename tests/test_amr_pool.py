@@ -228,3 +228,60 @@ def test_vtu_amr_output(tmp_path):
     write_vtu_amr(path, s, pools, t=0.0)
     data = open(path, "rb").read()
     assert b"UnstructuredGrid" in data and b"level" in data
+
+
+def test_amr_pools_1_vs_8_devices():
+    """Parallel AMR (src_mpi/refine.cc:81-96 analog): the tile pools are
+    sharded over their slot axis across the 8-device mesh; stepping +
+    adaptation give the same composite solution as the single-device run.
+    Validates that the pool operators are sharding-transparent (GSPMD
+    partitions the slot-indexed gathers)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(64, 8, 0.0, 1.0, 0.0, 0.125)
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.zeros_like(x), jnp.zeros_like(x), jnp.ones_like(x),
+         jnp.full_like(x, 2.5)])
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+    lim = LimiterConfig(type="TVB", beta=2.0, char_lim=True, pos_lim=True)
+    amr = AMRConfig(shock_value=0.25, shock_levels=2, iter_step=3, tile=4,
+                    max_elements=20000)
+
+    def sod(x, y, t=0.0):
+        rho = jnp.where(x <= 0.5, 1.0, 0.125)
+        E = jnp.where(x <= 0.5, 2.5, 0.25)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, E])
+
+    def drive(shard):
+        s = AMRSolver(basis, mesh, bcs, flux="hllc", amr=amr, limiter=lim,
+                      cfl=0.45)
+        dmesh = Mesh(np.array(jax.devices()).reshape(8), ("slots",))
+        place = (lambda pools: [
+            jax.device_put(p, NamedSharding(
+                dmesh, P(None, None, "slots", None, None)))
+            for p in pools]) if shard else (lambda pools: pools)
+        pools = place(s.set_ic(sod))
+        t, it = 0.0, 0
+        pools = s.post_stage(pools, s._tables, 0.0)
+        while t < 0.03 - 1e-12:
+            pools, dt, bad = s._step(pools, s._tables, t, 0.03)
+            assert not bool(bad)
+            t += float(dt)
+            it += 1
+            if it % amr.iter_step == 0:
+                pools, _ = s.adapt(pools)
+                pools = place(pools)
+        return s, pools
+
+    s1, p1 = drive(False)
+    s8, p8 = drive(True)
+    assert (s1.topo.Lmap == s8.topo.Lmap).all()
+    for lv in range(s1.max_level + 1):
+        d = float(jnp.abs(p1[lv] - p8[lv]).max())
+        assert d < 1e-11, (lv, d)
