@@ -45,11 +45,12 @@ def build_domain(params: AllParameters, prm_dir: str = "."):
         return mesh, mask, side_bids
     path = os.path.join(prm_dir, params.mesh_filename)
     if not os.path.exists(path):
-        # the reference ships .geo generators, not .msh files; fall back
-        geo = os.path.splitext(path)[0] + ".geo"
-        candidates = [path, geo] + [
+        # the reference ships .geo generators (and naca0012 a .struct grid
+        # its makefile converts via struct2gmsh.f), not .msh files; fall back
+        stem = os.path.splitext(path)[0]
+        candidates = [path, stem + ".geo", stem + ".struct"] + [
             os.path.join(prm_dir, f) for f in sorted(os.listdir(prm_dir))
-            if f.endswith(".geo")]
+            if f.endswith((".geo", ".struct"))]
         path = next((c for c in candidates if os.path.exists(c)), None)
         if path is None:
             raise FileNotFoundError(
@@ -292,7 +293,8 @@ def _main_amr(args, params, solver, timer, t_wall):
             write_snapshot(pools, t)
 
     with timer("Time loop"):
-        pools, t, it = solver.run(pools, t_end, callback=callback)
+        pools, t, it = solver.run(pools, t_end, callback=callback,
+                                  max_steps=args.max_steps)
     write_snapshot(pools, t)
     print(timer.summary())
     print(f"steps={it}  final t={t:.6f}  wall={time.time() - t_wall:.1f}s")
@@ -306,6 +308,8 @@ def main(argv=None):
     ap.add_argument("--output-dir", default="output")
     ap.add_argument("--final-time", type=float, default=None,
                     help="override the config's final time")
+    ap.add_argument("--max-steps", type=int, default=10**7,
+                    help="stop after N time steps (smoke tests)")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save a checkpoint every N outputs")
@@ -465,13 +469,15 @@ def main(argv=None):
             u, hist = run_steady(
                 solver, u, cfl0=params.cfl,
                 min_residual=params.min_residual or 1e-10,
-                max_steps=100000, verbose=True)
+                max_steps=min(100000, args.max_steps), verbose=True)
             t, it = t0, len(hist)
         elif unstructured:
-            u, t, it = solver.run(u, t_end, t0=t0, callback=callback)
+            u, t, it = solver.run(u, t_end, t0=t0, callback=callback,
+                                  max_steps=args.max_steps)
         else:
             u, t, it = solver.run(u, t_end, t0=t0, callback=callback,
-                                  chunk=max(args.chunk, 1))
+                                  chunk=max(args.chunk, 1),
+                                  max_steps=args.max_steps)
         import jax as _jax
         _jax.block_until_ready(u)
     write_snapshot(u, t)

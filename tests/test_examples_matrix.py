@@ -165,3 +165,66 @@ def test_all_repo_example_configs_parse():
             continue
         params = AllParameters.from_prm_file(f"{EX}/{name}")
         assert params.degree >= 1
+
+
+# every shipped reference configuration, driven through the CLI exactly as a
+# reference user would (mpirun -np 1 dflo input.prm analog); 3 time steps
+# each proves config->mesh->BC->IC->stepping wiring for the whole matrix
+ALL_REFERENCE_CONFIGS = [
+    "backward_step/input.prm",
+    "compression_corner/input.prm",
+    "double_mach_reflection/input.prm",
+    "forward_step/input.prm",
+    "implosion/input.prm",
+    "isentropic_vortex/input.prm",
+    "rayleigh_taylor/input.prm",
+    "sedov/input.prm",
+    "sod_shock_tube/input.prm",
+    "vortex_system/input.prm",
+    "vortex_system_pbc/input.prm",
+    "gravity/constant_gravity/input_pert.prm",
+    "gravity/iso_xing_shu/input_cart.prm",
+    "gravity/iso_xing_shu/input_uns.prm",
+    "gravity/polytropic/input.prm",
+    "gravity/polytropic/input_pert.prm",
+    "gravity/radial_gravity/input_cart.prm",
+    "gravity/radial_gravity/input_uns.prm",
+    "gravity/rayleigh_taylor/input.prm",
+    "gravity/sod_shock_tube/input.prm",
+    "gravity/unsteady_xing_shu/input_cart.prm",
+]
+
+# configs that are broken AS SHIPPED in the reference repo (they would fail
+# under the reference binary too); the CLI must fail loudly, not silently:
+# - gravity/constant_gravity/input.prm: w_3 expression has an unbalanced
+#   parenthesis (FunctionParser would reject it)
+# - naca0012/m063.prm: ICs/BCs written in the pre-dim-first rho-leading
+#   component order; under the current layout (src/equation.h:26-28,
+#   momentum first) the state has rho=0.035, |m|~1.4 => negative pressure
+BROKEN_REFERENCE_CONFIGS = [
+    "gravity/constant_gravity/input.prm",
+    "naca0012/m063.prm",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rel", ALL_REFERENCE_CONFIGS)
+def test_every_reference_config_runs_through_cli(rel, tmp_path):
+    from dflo_tpu.cli import main
+    rc = main([f"{REF}/{rel}", "--max-steps", "3",
+               "--output-dir", str(tmp_path)])
+    assert rc == 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rel", BROKEN_REFERENCE_CONFIGS)
+def test_broken_reference_configs_fail_loudly(rel, tmp_path):
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-m", "dflo_tpu", f"{REF}/{rel}",
+         "--max-steps", "3", "--output-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode != 0
+    assert ("cannot parse expression" in r.stderr
+            or "negative density/pressure" in r.stderr)
