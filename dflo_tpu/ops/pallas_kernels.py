@@ -106,11 +106,21 @@ def volume_residual(lift, u):
 # ---------------------------------------------------------------------------
 
 
-def _fused_kernel(trc_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
-                  lf_ref, rt_ref, dfw_ref, dfe_ref, dfs_ref, dfn_ref,
-                  out_ref, *, K, nq, flux_name, per_x, per_y):
+def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
     from dflo_tpu.physics.fluxes import get_flux
     num_flux = get_flux(flux_name)
+    if blend:
+        # extra inputs: the previous-step state tile + [a, dt] scalars;
+        # the kernel then emits the complete SSP stage
+        # a*u_old + (1-a)*(u + dt*R) (src/claw.cc:757-760) — the separate
+        # axpy pass and its 4 state-sized HBM transfers disappear
+        (trc_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
+         lf_ref, rt_ref, dfw_ref, dfe_ref, dfs_ref, dfn_ref,
+         uold_ref, sc_ref, out_ref) = refs
+    else:
+        (trc_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
+         lf_ref, rt_ref, dfw_ref, dfe_ref, dfs_ref, dfn_ref,
+         out_ref) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_i = pl.num_programs(0)
@@ -239,7 +249,12 @@ def _fused_kernel(trc_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
     R = R + lift(liftf_ref[:, 2 * nq:3 * nq], Fs_all)
     R = R - lift(liftf_ref[:, 3 * nq:4 * nq], Fn_all)
 
-    out_ref[:] = R
+    if blend:
+        a = sc_ref[0]
+        dt = sc_ref[1]
+        out_ref[:] = a * uold_ref[:] + (1.0 - a) * (W + dt * R)
+    else:
+        out_ref[:] = R
 
 
 def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
@@ -268,8 +283,10 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     liftv = jnp.asarray(liftv, dtype)
     liftf = jnp.asarray(liftf, dtype)
 
-    @functools.partial(jax.jit, static_argnames=("interpret",))
-    def fused(u, dfw, dfe, dfs, dfn, interpret=False):
+    @functools.partial(jax.jit,
+                       static_argnames=("interpret", "blend"))
+    def fused(u, dfw, dfe, dfs, dfn, u_old=None, scalars=None,
+              interpret=False, blend=False):
         c, k, ny, nx = u.shape
         TY = 8
         while ny % TY:
@@ -300,31 +317,44 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                                memory_space=pltpu.VMEM)
         spec_op = lambda s: pl.BlockSpec(  # noqa: E731
             s, lambda i, j: tuple(0 for _ in s), memory_space=pltpu.VMEM)
+        in_specs = [spec_op(trc.shape), spec_op(liftv.shape),
+                    spec_op(liftf.shape),
+                    spec_u, spec_up, spec_dn, spec_lf, spec_rt,
+                    pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
+                                 memory_space=pltpu.VMEM)]
+        args = [trc, liftv, liftf, u, u, u, u, u,
+                jnp.moveaxis(dfw, -1, 0), jnp.moveaxis(dfe, -1, 0), dfs, dfn]
+        if blend:
+            in_specs += [spec_u,
+                         pl.BlockSpec((2,), lambda i, j: (0,),
+                                      memory_space=pltpu.SMEM)]
+            args += [u_old, scalars]
         return pl.pallas_call(
             functools.partial(_fused_kernel, K=K, nq=nq,
                               flux_name=flux_name,
-                              per_x=per_x, per_y=per_y),
+                              per_x=per_x, per_y=per_y, blend=blend),
             out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
             grid=(ni, nj),
-            in_specs=[spec_op(trc.shape), spec_op(liftv.shape),
-                      spec_op(liftf.shape),
-                      spec_u, spec_up, spec_dn, spec_lf, spec_rt,
-                      pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=in_specs,
             out_specs=spec_u,
             interpret=interpret,
-        )(trc, liftv, liftf, u, u, u, u, u,
-          jnp.moveaxis(dfw, -1, 0), jnp.moveaxis(dfe, -1, 0), dfs, dfn)
+        )(*args)
 
-    def fused_residual(u, dfw, dfe, dfs, dfn):
+    def fused_residual(u, dfw, dfe, dfs, dfn, u_old=None, a=None, dt=None):
+        """R(u) (mass-solved), or with (u_old, a, dt) the full SSP stage
+        a*u_old + (1-a)*(u + dt*R)."""
         on_tpu = jax.devices()[0].platform not in ("cpu",)
-        return fused(u, dfw, dfe, dfs, dfn, interpret=not on_tpu)
+        if u_old is None:
+            return fused(u, dfw, dfe, dfs, dfn, interpret=not on_tpu)
+        sc = jnp.stack([jnp.asarray(a, u.dtype), jnp.asarray(dt, u.dtype)])
+        return fused(u, dfw, dfe, dfs, dfn, u_old, sc,
+                     interpret=not on_tpu, blend=True)
 
     return fused_residual
 

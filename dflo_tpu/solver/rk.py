@@ -50,15 +50,23 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
 
     dt_field: optional per-cell [ny, nx] dt for `time step type = local`
     explicit pseudo-transient marching (src/claw.cc:444-481); stage TIMES
-    still advance by the scalar dt (BC data takes one time argument)."""
+    still advance by the scalar dt (BC data takes one time argument).
+
+    If `rhs` exposes a `.stage(u, u_old, t, a, dt)` attribute (the fused
+    Pallas path) and dt is scalar, the residual + SSP blend run as ONE
+    kernel pass per stage."""
     import jax
 
+    stage_fn = getattr(rhs, "stage", None) if dt_field is None else None
     dtu = dt if dt_field is None else dt_field
     u_old = u
     if unroll or len(ark) == 1:
         for a, c in zip(ark, stage_times):
-            u = u + dtu * rhs(u, t + c * dt)
-            u = a * u_old + (1.0 - a) * u
+            if stage_fn is not None:
+                u = stage_fn(u, u_old, t + c * dt, a, dt)
+            else:
+                u = u + dtu * rhs(u, t + c * dt)
+                u = a * u_old + (1.0 - a) * u
             if post_stage is not None:
                 u = post_stage(u, t + c * dt)
         return u
@@ -67,8 +75,11 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
 
     def body(u, ac):
         a, c = ac[0], ac[1]
-        v = u + dtu * rhs(u, t + c * dt)
-        v = a * u_old + (1.0 - a) * v
+        if stage_fn is not None:
+            v = stage_fn(u, u_old, t + c * dt, a, dt)
+        else:
+            v = u + dtu * rhs(u, t + c * dt)
+            v = a * u_old + (1.0 - a) * v
         if post_stage is not None:
             v = post_stage(v, t + c * dt)
         return v, None

@@ -256,9 +256,8 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                                         dtype)
         avg_vec = cast(basis.wq2 @ basis.V)     # [K] mean weights
 
-        def rhs_fused(u: Array, t) -> Array:
-            """du/dt via the single fused VMEM kernel + O(boundary)-cost
-            delta-flux strips for the non-periodic sides."""
+        def _strips(u: Array, t):
+            """O(boundary)-cost delta-flux strips for non-periodic sides."""
             ny_, nx_ = u.shape[-2:]
             if per_x:
                 dfw = dfe = jnp.zeros((4, nq, ny_), u.dtype)
@@ -286,8 +285,19 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 Fwrap = num_flux(uNl, uS0, 0.0, 1.0, AL=Al, AR=A0)
                 dfs = -boundary_flux("S", uS0, ub0, t) - Fwrap
                 dfn = boundary_flux("N", uNl, ubl, t) - Fwrap
-            return fused_res(u, dfw, dfe, dfs, dfn)
+            return dfw, dfe, dfs, dfn
 
+        def rhs_fused(u: Array, t) -> Array:
+            """du/dt via the single fused VMEM kernel."""
+            return fused_res(u, *_strips(u, t))
+
+        def stage_fused(u: Array, u_old: Array, t, a, dt) -> Array:
+            """Full SSP stage a*u_old + (1-a)*(u + dt*du/dt) in one kernel
+            pass (the blend axpy of src/claw.cc:757-760 costs no extra HBM
+            round trip)."""
+            return fused_res(u, *_strips(u, t), u_old=u_old, a=a, dt=dt)
+
+        rhs_fused.stage = stage_fused
         return rhs_fused
 
     def rhs(u: Array, t) -> Array:
