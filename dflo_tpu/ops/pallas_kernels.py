@@ -24,6 +24,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dflo_tpu.physics import euler
 
+#: debug escape hatch: force interpret mode even on TPU (bit-exact
+#: reference semantics for isolating Mosaic compilation issues)
+FORCE_INTERPRET = False
+
+
+def _interpret() -> bool:
+    return FORCE_INTERPRET or jax.devices()[0].platform in ("cpu",)
+
 
 def _volume_kernel(L_ref, u_ref, out_ref, *, K):
     """One (TY, TX) tile: collocated flux evaluation + stacked lift.
@@ -45,7 +53,8 @@ def _volume_kernel(L_ref, u_ref, out_ref, *, K):
     F = jnp.concatenate([Fx, Fy], axis=1)               # [4, 2K, TY, TX]
     ty, tx = F.shape[2], F.shape[3]
     Ff = jnp.moveaxis(F, 1, 0).reshape(2 * K, -1)
-    R = jnp.dot(L_ref[:], Ff, preferred_element_type=jnp.float32)
+    R = jnp.dot(L_ref[:], Ff, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jnp.moveaxis(R.reshape(K, 4, ty, tx), 0, 1)
 
 
@@ -80,8 +89,7 @@ def volume_residual(lift, u):
     state u[4, K, ny, nx] (the `R = [dy GxW.T | dx GyW.T] @ [Fx; Fy]`
     contraction of dflo_tpu.solver.spatial).  Uses the compiled kernel on
     TPU, interpret mode elsewhere."""
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    return _volume_call(lift, u, interpret=not on_tpu)
+    return _volume_call(lift, u, interpret=_interpret())
 
 
 # ---------------------------------------------------------------------------
@@ -114,23 +122,25 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
         # the kernel then emits the complete SSP stage
         # a*u_old + (1-a)*(u + dt*R) (src/claw.cc:757-760) — the separate
         # axpy pass and its 4 state-sized HBM transfers disappear
-        (trc_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
+        (trc_ref, trcs_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
          lf_ref, rt_ref, dfw_ref, dfe_ref, dfs_ref, dfn_ref,
          uold_ref, sc_ref, out_ref) = refs
     else:
-        (trc_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
+        (trc_ref, trcs_ref, liftv_ref, liftf_ref, u_ref, up_ref, dn_ref,
          lf_ref, rt_ref, dfw_ref, dfe_ref, dfs_ref, dfn_ref,
          out_ref) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_i = pl.num_programs(0)
     n_j = pl.num_programs(1)
+    P = jax.lax.Precision.HIGHEST
 
     def traces(tile):
         """[4,K,ty,tx] -> (uW,uE,uS,uN,ub) via one stacked matmul."""
         c_, _k, ty_, tx_ = tile.shape
         flat = jnp.moveaxis(tile, 1, 0).reshape(K, c_ * ty_ * tx_)
-        TR = jnp.dot(trc_ref[:], flat, preferred_element_type=flat.dtype)
+        TR = jnp.dot(trc_ref[:], flat, preferred_element_type=flat.dtype,
+                     precision=P)
         TR = jnp.moveaxis(TR.reshape(4 * nq + 1, c_, ty_, tx_), 1, 0)
         return (TR[:, 0 * nq:1 * nq], TR[:, 1 * nq:2 * nq],
                 TR[:, 2 * nq:3 * nq], TR[:, 3 * nq:4 * nq], TR[:, 4 * nq])
@@ -138,27 +148,51 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
     W = u_ref[:]
     c, k, ty, tx = W.shape
     uW, uE, uS, uN, ub = traces(W)
-    # halo inputs are the four neighbor tiles (periodic-wrapped index
-    # maps), traced whole (Mosaic rejects reshape on 1-lane slices); the
-    # in-tile neighbor view is a roll with the wrapped-in row/column
-    # patched from the halo's far edge via a masked where
-    _, _, _, up_uN, up_ub = traces(up_ref[:])
-    _, _, dn_uS, _, dn_ub = traces(dn_ref[:])
-    _, lf_uE, _, _, lf_ub = traces(lf_ref[:])
-    rt_uW, _, _, _, rt_ub = traces(rt_ref[:])
+    # Halo inputs are the four neighbor tiles (periodic-wrapped index
+    # maps), but only one face row/column of each is needed, so the halo
+    # trace work is slimmed: up/dn tiles get per-component row-sliced
+    # [face+avg, K] x [K, tx] dots on just the boundary row; lf/rt tiles
+    # get whole-tile dots with only the (nq+1) needed operator rows.
+    # trcs_ref rows: [W-face rows + avg | E | S | N] per side block.
+    m1 = nq + 1
+
+    def row_trace(tile_ref, side, row):
+        """face trace + avg of ONE row of a halo tile -> [c,nq,1,tx],[c,1,tx]."""
+        op = trcs_ref[side * m1:(side + 1) * m1]
+        outs = [jnp.dot(op, tile_ref[ci, :, row, :],
+                        preferred_element_type=W.dtype, precision=P)
+                for ci in range(c)]                 # each [nq+1, tx]
+        st = jnp.stack(outs)                        # [c, nq+1, tx]
+        # slice-only assembly (int+newaxis indexing lowers to >2D gather,
+        # which Mosaic rejects): [c, nq, 1, tx] face patch + [c, 1, tx] avg
+        face = jnp.stack([st[:, q:q + 1, :] for q in range(nq)], axis=1)
+        return face, st[:, nq:nq + 1, :]
+
+    def side_trace(tile, side):
+        """face trace + avg of a whole tile -> [c,nq,ty,tx],[c,ty,tx]."""
+        c_, _k, ty_, tx_ = tile.shape
+        op = trcs_ref[side * m1:(side + 1) * m1]
+        flat = jnp.moveaxis(tile, 1, 0).reshape(K, c_ * ty_ * tx_)
+        TR = jnp.dot(op, flat, preferred_element_type=tile.dtype, precision=P)
+        TR = jnp.moveaxis(TR.reshape(m1, c_, ty_, tx_), 1, 0)
+        return TR[:, :nq], TR[:, nq]
+
+    # up tile: its NORTH face on its last row; dn tile: SOUTH face, first row
+    up_uN_last, up_ub_last = row_trace(up_ref, 3, ty - 1)  # [c,nq,1,tx]
+    dn_uS_first, dn_ub_first = row_trace(dn_ref, 2, 0)
+    lf_uE, lf_ub = side_trace(lf_ref[:], 1)
+    rt_uW, rt_ub = side_trace(rt_ref[:], 0)
     rowq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
     colq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tx), 3)
     row2 = rowq[:, 0]
     col2 = colq[:, 0]
 
-    def shift_rows_down(a, halo_last, iota):
-        """a[..., r, :] -> a[..., r-1, :] with row 0 from the halo tile."""
-        return jnp.where(iota == 0, halo_last[..., ty - 1:ty, :],
-                         jnp.roll(a, 1, axis=-2))
+    def patch_first_row(a, patch, iota):
+        """a[..., r, :] -> a[..., r-1, :] with row 0 from the halo patch."""
+        return jnp.where(iota == 0, patch, jnp.roll(a, 1, axis=-2))
 
-    def shift_rows_up(a, halo_first, iota):
-        return jnp.where(iota == ty - 1, halo_first[..., 0:1, :],
-                         jnp.roll(a, -1, axis=-2))
+    def patch_last_row(a, patch, iota):
+        return jnp.where(iota == ty - 1, patch, jnp.roll(a, -1, axis=-2))
 
     def shift_cols_right(a, halo_last, iota):
         return jnp.where(iota == 0, halo_last[..., tx - 1:tx],
@@ -168,10 +202,10 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
         return jnp.where(iota == tx - 1, halo_first[..., 0:1],
                          jnp.roll(a, -1, axis=-1))
 
-    uN_up = shift_rows_down(uN, up_uN, rowq)
-    ub_up = shift_rows_down(ub, up_ub, row2)
-    uS_dn = shift_rows_up(uS, dn_uS, rowq)
-    ub_dn = shift_rows_up(ub, dn_ub, row2)
+    uN_up = patch_first_row(uN, up_uN_last, rowq)
+    ub_up = patch_first_row(ub, up_ub_last, row2)
+    uS_dn = patch_last_row(uS, dn_uS_first, rowq)
+    ub_dn = patch_last_row(ub, dn_ub_first, row2)
     uE_lf = shift_cols_right(uE, lf_uE, colq)
     ub_lf = shift_cols_right(ub, lf_ub, col2)
     uW_rt = shift_cols_left(uW, rt_uW, colq)
@@ -180,7 +214,8 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
     def lift(op, F):
         """[K, m] x [4, m, ty, tx] -> [4, K, ty, tx]."""
         Ff = jnp.moveaxis(F, 1, 0).reshape(F.shape[1], -1)
-        r = jnp.dot(op, Ff, preferred_element_type=Ff.dtype)
+        r = jnp.dot(op, Ff, preferred_element_type=Ff.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
         return jnp.moveaxis(r.reshape(K, c, ty, tx), 0, 1)
 
     # ---- volume flux (collocated nodes) -------------------------------
@@ -217,7 +252,7 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
                        0.0, 1.0, AL=A_c[..., ty - 1:ty, :],
                        AR=jnp.broadcast_to(ub_dn[:, None],
                                            uS_dn.shape)[..., ty - 1:ty, :])
-    Fn_all = shift_rows_up(Fs_all, Fn_last, rowq)
+    Fn_all = patch_last_row(Fs_all, Fn_last, rowq)
 
     # ---- boundary corrections (delta fluxes, precomputed outside) ------
     # one-hot masked adds: .at[].add lowers to scatter-add, which Mosaic
@@ -272,6 +307,10 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     avg_op = basis.wq2 @ basis.V
     trc = np.concatenate([basis.faceV[0], basis.faceV[1], basis.faceV[2],
                           basis.faceV[3], avg_op[None]], axis=0)
+    # per-side [face rows | avg] blocks for the slimmed halo traces
+    trcs = np.concatenate(
+        [np.concatenate([basis.faceV[f], avg_op[None]], axis=0)
+         for f in range(4)], axis=0)
     liftv = np.concatenate([mesh.dy * GxW.T, mesh.dx * GyW.T],
                            axis=1) * scale
     fvw = [basis.wq[:, None] * basis.faceV[f] for f in range(4)]
@@ -280,6 +319,7 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                             mesh.dx * fvw[2].T, mesh.dx * fvw[3].T],
                            axis=1) * scale
     trc = jnp.asarray(trc, dtype)
+    trcs = jnp.asarray(trcs, dtype)
     liftv = jnp.asarray(liftv, dtype)
     liftf = jnp.asarray(liftf, dtype)
 
@@ -317,8 +357,8 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                                memory_space=pltpu.VMEM)
         spec_op = lambda s: pl.BlockSpec(  # noqa: E731
             s, lambda i, j: tuple(0 for _ in s), memory_space=pltpu.VMEM)
-        in_specs = [spec_op(trc.shape), spec_op(liftv.shape),
-                    spec_op(liftf.shape),
+        in_specs = [spec_op(trc.shape), spec_op(trcs.shape),
+                    spec_op(liftv.shape), spec_op(liftf.shape),
                     spec_u, spec_up, spec_dn, spec_lf, spec_rt,
                     pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
@@ -328,7 +368,7 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
                                  memory_space=pltpu.VMEM)]
-        args = [trc, liftv, liftf, u, u, u, u, u,
+        args = [trc, trcs, liftv, liftf, u, u, u, u, u,
                 jnp.moveaxis(dfw, -1, 0), jnp.moveaxis(dfe, -1, 0), dfs, dfn]
         if blend:
             in_specs += [spec_u,
@@ -349,12 +389,11 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     def fused_residual(u, dfw, dfe, dfs, dfn, u_old=None, a=None, dt=None):
         """R(u) (mass-solved), or with (u_old, a, dt) the full SSP stage
         a*u_old + (1-a)*(u + dt*R)."""
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
         if u_old is None:
-            return fused(u, dfw, dfe, dfs, dfn, interpret=not on_tpu)
+            return fused(u, dfw, dfe, dfs, dfn, interpret=_interpret())
         sc = jnp.stack([jnp.asarray(a, u.dtype), jnp.asarray(dt, u.dtype)])
         return fused(u, dfw, dfe, dfs, dfn, u_old, sc,
-                     interpret=not on_tpu, blend=True)
+                     interpret=_interpret(), blend=True)
 
     return fused_residual
 
@@ -412,6 +451,10 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     trcd_np = np.concatenate([basis.wq[:, None] * basis.faceV[f]
                               for f in range(4)], axis=0)
     avg_np = (basis.wq2 @ basis.V)[None]            # [1, K]
+    # per-side [wq-weighted face rows | avg] blocks for slimmed halo work
+    trcsp_np = np.concatenate(
+        [np.concatenate([basis.wq[:, None] * basis.faceV[f], avg_np], axis=0)
+         for f in range(4)], axis=0)                # [4*(nq+1), K]
     gx_np = (basis.wq2 @ basis.Gx)[None]
     gy_np = (basis.wq2 @ basis.Gy)[None]
     P_np = basis.eval_at(_pos_points(p))            # [Qp, K]
@@ -419,7 +462,7 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
                        (basis.nodes[:, 0] - 0.5) * dx / h,
                        (basis.nodes[:, 1] - 0.5) * dy / h], axis=1)  # [K,3]
 
-    def kernel(trcd_ref, ops1_ref, P_ref, reb_ref,
+    def kernel(trcd_ref, trcs_ref, ops1_ref, P_ref, reb_ref,
                u_ref, up_ref, dn_ref, lf_ref, rt_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -433,35 +476,55 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         gx = ops1_ref[1:2]
         gy = ops1_ref[2:3]
         P = P_ref[:]
+        HI = jax.lax.Precision.HIGHEST
+        m1 = nq + 1
 
         def rowmat(op, tile):
             """[m, K] x [4, K, ty, tx] -> [4, m, ty, tx]."""
             c_, _k, ty_, tx_ = tile.shape
             flat = jnp.moveaxis(tile, 1, 0).reshape(K, c_ * ty_ * tx_)
-            r = jnp.dot(op, flat, preferred_element_type=f32)
+            r = jnp.dot(op, flat, preferred_element_type=f32,
+                        precision=HI)
             return jnp.moveaxis(r.reshape(op.shape[0], c_, ty_, tx_), 1, 0)
 
         def avg_of(tile):
             return rowmat(avg, tile)[:, 0]          # [4, ty, tx]
 
+        # slimmed halo work (same pattern as the fused residual): only one
+        # face row/column of each halo tile is ever consumed
+        def row_trace(tile_ref, side, row):
+            op = trcs_ref[side * m1:(side + 1) * m1]
+            outs = [jnp.dot(op, tile_ref[ci, :, row, :],
+                            preferred_element_type=f32, precision=HI)
+                    for ci in range(c)]             # each [nq+1, tx]
+            st = jnp.stack(outs)                    # [c, nq+1, tx]
+            face = jnp.stack([st[:, q:q + 1, :] for q in range(nq)], axis=1)
+            return face, st[:, nq:nq + 1, :]        # [c,nq,1,tx], [c,1,tx]
+
+        def side_trace(tile, side):
+            c_, _k, ty_, tx_ = tile.shape
+            op = trcs_ref[side * m1:(side + 1) * m1]
+            flat = jnp.moveaxis(tile, 1, 0).reshape(K, c_ * ty_ * tx_)
+            TR = jnp.dot(op, flat, preferred_element_type=f32, precision=HI)
+            TR = jnp.moveaxis(TR.reshape(m1, c_, ty_, tx_), 1, 0)
+            return TR[:, :nq], TR[:, nq]            # [c,nq,ty,tx], [c,ty,tx]
+
         ub = avg_of(W)
-        ub_up_t = avg_of(up_ref[:])
-        ub_dn_t = avg_of(dn_ref[:])
-        ub_lf_t = avg_of(lf_ref[:])
-        ub_rt_t = avg_of(rt_ref[:])
+        up_face, up_avg = row_trace(up_ref, 3, ty - 1)  # N face, last row
+        dn_face, dn_avg = row_trace(dn_ref, 2, 0)       # S face, first row
+        lf_face, lf_avg = side_trace(lf_ref[:], 1)      # E face
+        rt_face, rt_avg = side_trace(rt_ref[:], 0)      # W face
 
         rowq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
         colq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tx), 3)
         row2 = rowq[:, 0]
         col2 = colq[:, 0]
 
-        def sh_dn(a, halo, iota):      # value from row above (r-1)
-            return jnp.where(iota == 0, halo[..., ty - 1:ty, :],
-                             jnp.roll(a, 1, axis=-2))
+        def patch_dn(a, patch, iota):  # value from row above (r-1)
+            return jnp.where(iota == 0, patch, jnp.roll(a, 1, axis=-2))
 
-        def sh_up(a, halo, iota):      # value from row below (r+1)
-            return jnp.where(iota == ty - 1, halo[..., 0:1, :],
-                             jnp.roll(a, -1, axis=-2))
+        def patch_up(a, patch, iota):  # value from row below (r+1)
+            return jnp.where(iota == ty - 1, patch, jnp.roll(a, -1, axis=-2))
 
         def sh_rt(a, halo, iota):      # value from column left (c-1)
             return jnp.where(iota == 0, halo[..., tx - 1:tx],
@@ -471,10 +534,10 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
             return jnp.where(iota == tx - 1, halo[..., 0:1],
                              jnp.roll(a, -1, axis=-1))
 
-        ub_W = sh_rt(ub, ub_lf_t, col2)             # west-neighbor averages
-        ub_E = sh_lf(ub, ub_rt_t, col2)
-        ub_S = sh_dn(ub, ub_up_t, row2)
-        ub_N = sh_up(ub, ub_dn_t, row2)
+        ub_W = sh_rt(ub, lf_avg, col2)              # west-neighbor averages
+        ub_E = sh_lf(ub, rt_avg, col2)
+        ub_S = patch_dn(ub, up_avg, row2)
+        ub_N = patch_up(ub, dn_avg, row2)
 
         # neighbor-exists flags (global edges unless periodic)
         one = jnp.ones((1, ty, tx), f32)
@@ -493,20 +556,17 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         else:
             def dtr(tile):
                 v = jnp.moveaxis(tile[comp], 0, 0).reshape(K, -1)
-                r = jnp.dot(trcd, v, preferred_element_type=f32)
+                r = jnp.dot(trcd, v, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
                 r = r.reshape(4 * nq, tile.shape[2], tile.shape[3])
                 return (r[0 * nq:1 * nq], r[1 * nq:2 * nq],
                         r[2 * nq:3 * nq], r[3 * nq:4 * nq])
 
             tW, tE, tS, tN = dtr(W)
-            _, lf_tE, _, _ = dtr(lf_ref[:])
-            rt_tW, _, _, _ = dtr(rt_ref[:])
-            _, _, _, up_tN = dtr(up_ref[:])
-            _, _, dn_tS, _ = dtr(dn_ref[:])
-            jW = (tW - sh_rt(tE, lf_tE, colq[0])) * vW
-            jE = (tE - sh_lf(tW, rt_tW, colq[0])) * vE
-            jS = (tS - sh_dn(tN, up_tN, rowq[0])) * vS
-            jN = (tN - sh_up(tS, dn_tS, rowq[0])) * vN
+            jW = (tW - sh_rt(tE, lf_face[comp], colq[0])) * vW
+            jE = (tE - sh_lf(tW, rt_face[comp], colq[0])) * vE
+            jS = (tS - patch_dn(tN, up_face[comp], rowq[0])) * vS
+            jN = (tN - patch_up(tS, dn_face[comp], rowq[0])) * vN
 
             vx = ub[euler.MX] / ub[euler.RHO]
             vy = ub[euler.MY] / ub[euler.RHO]
@@ -567,8 +627,8 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         S = jnp.stack([ub, Dxn, Dyn], axis=1)       # [4, 3, ty, tx]
         Sf = jnp.moveaxis(S, 1, 0).reshape(3, -1)
         u_lim = jnp.moveaxis(
-            jnp.dot(reb_ref[:], Sf,
-                    preferred_element_type=f32).reshape(K, c, ty, tx), 0, 1)
+            jnp.dot(reb_ref[:], Sf, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST).reshape(K, c, ty, tx), 0, 1)
         active = active0 & (change > 1.0e-10)
         u1 = jnp.where(active[None, None], u_lim, W)
 
@@ -646,6 +706,7 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         spec_op = lambda sh: pl.BlockSpec(  # noqa: E731
             sh, lambda i, j: tuple(0 for _ in sh), memory_space=pltpu.VMEM)
         trcd = jnp.asarray(trcd_np, u.dtype)
+        trcs = jnp.asarray(trcsp_np, u.dtype)
         ops1 = jnp.asarray(np.concatenate([avg_np, gx_np, gy_np]), u.dtype)
         P = jnp.asarray(P_np, u.dtype)
         reb = jnp.asarray(reb_np, u.dtype)
@@ -653,15 +714,15 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
             kernel,
             out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
             grid=(ni, nj),
-            in_specs=[spec_op(trcd.shape), spec_op(ops1.shape),
+            in_specs=[spec_op(trcd.shape), spec_op(trcs.shape),
+                      spec_op(ops1.shape),
                       spec_op(P.shape), spec_op(reb.shape),
                       spec_u, spec_up, spec_dn, spec_lf, spec_rt],
             out_specs=spec_u,
             interpret=interpret,
-        )(trcd, ops1, P, reb, u, u, u, u, u)
+        )(trcd, trcs, ops1, P, reb, u, u, u, u, u)
 
     def fused_post(u):
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
-        return call(u, interpret=not on_tpu)
+        return call(u, interpret=_interpret())
 
     return fused_post
