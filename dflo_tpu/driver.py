@@ -51,8 +51,8 @@ class Solver:
                  max_nonlin_iter: int = 1, linear_residual: float = 1e-4,
                  gmres_restart: int = 30, gmres_maxiter: int = 10,
                  fixed_time_step: float | None = None,
-                 volume_kernel: str = "xla", precondition: str | None = None,
-                 time_step_type: str = "global", post_kernel: str = "xla"):
+                 volume_kernel: str = "auto", precondition: str | None = None,
+                 time_step_type: str = "global", post_kernel: str = "auto"):
         self.basis = basis
         self.mesh = mesh
         self.bcs = bcs
@@ -77,6 +77,29 @@ class Solver:
         per_y = getattr(bcs["S"], "kind", None) == euler.BC_PERIODIC
         # curvilinear blocks (mapping = q1) carry per-cell metric terms
         self.curvilinear = hasattr(mesh, "metric")
+
+        # 'auto': use the fused Pallas kernels on real TPUs whenever the
+        # configuration sits inside their envelope (the production hot
+        # path); XLA everywhere else.  CPU always resolves to XLA —
+        # interpret-mode Pallas would crawl.
+        cfg0 = self.limiter_cfg
+        if volume_kernel == "auto" or post_kernel == "auto":
+            on_tpu = (jax.devices()[0].platform not in ("cpu",)
+                      and device_mesh is None)
+            vol_ok = (on_tpu and not self.curvilinear and mask is None
+                      and source is None and well_balanced is None
+                      and mass_matrix == "diagonal"
+                      and basis.family == "Qk" and basis.is_nodal_collocated
+                      and basis.degree >= 1
+                      and flux != "kfvs")     # erf has no Mosaic lowering
+            post_ok = (vol_ok and cfg0.type == "TVB"
+                       and not cfg0.conserve_angular_momentum
+                       and cfg0.shock_indicator in ("density", "energy",
+                                                    "limiter"))
+            if volume_kernel == "auto":
+                volume_kernel = "fused" if vol_ok else "xla"
+            if post_kernel == "auto":
+                post_kernel = "fused" if post_ok else "xla"
         if self.curvilinear:
             from dflo_tpu.solver.spatial_curvi import make_rhs_curvilinear
             if self.limiter_cfg.type == "TVB":

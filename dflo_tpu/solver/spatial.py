@@ -192,6 +192,9 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         raise ValueError("volume_kernel='fused' covers the plain hot path "
                          "(no mask/source/well-balanced/full-mass); use "
                          "'xla' or 'pallas' for those")
+    if volume_kernel == "fused" and flux == "kfvs":
+        raise ValueError("volume_kernel='fused' cannot compile kfvs on TPU "
+                         "(ERF has no Mosaic lowering); use 'xla'")
 
     if well_balanced is not None:
         if well_balanced not in ("isothermal", "polytropic"):
