@@ -31,32 +31,34 @@ def main():
         pass
 
     import __graft_entry__ as ge
+    import jax.numpy as jnp
 
     on_tpu = jax.devices()[0].platform != "cpu"
     nx, ny = (1152, 288) if on_tpu else (192, 48)
     solver, u0 = ge._build(nx, ny)
     n_dofs = 4 * solver.basis.K * nx * ny
 
-    ubar = solver.cell_averages(u0)
-    from dflo_tpu.solver.rk import compute_dt, ssp_rk_step
-    dt = compute_dt(ubar, solver.mesh, 2, solver.cfl)
-
-    @jax.jit
-    def multi_step(u, n):
-        def body(i, u):
-            return ssp_rk_step(solver.rhs, u, 0.0, dt, solver.ark,
-                               solver.stage_times, post_stage=solver.post_stage)
-        return jax.lax.fori_loop(0, n, body, u)
+    # the REAL production step loop: CFL dt + RK3 stages + stabilization
+    # chain + NaN-safe negativity flag, all device-side (Solver._multi_step)
+    n_steps = 50 if on_tpu else 10
+    u0 = solver.post_stage(u0)
+    multi = solver._multi_step(n_steps)
+    zero = jnp.zeros((), u0.dtype)
+    t_end = jnp.asarray(1e9, u0.dtype)
 
     # warmup/compile (first compile on the axon tunnel can take minutes)
-    u = multi_step(u0, 2)
-    u.block_until_ready()
+    out = multi(u0, zero, t_end)
+    jax.block_until_ready(out[0])
 
-    n_steps = 50 if on_tpu else 10
     t0 = time.perf_counter()
-    u = multi_step(u0, n_steps)
-    u.block_until_ready()
+    out = multi(u0, zero, t_end)
+    jax.block_until_ready(out[0])
     wall = time.perf_counter() - t0
+
+    u, n_done, bad = out[0], out[2], out[3]
+    assert int(n_done) == n_steps, f"loop stopped early at {int(n_done)}"
+    assert not bool(bad), "negativity/NaN flag tripped during bench"
+    assert not bool(jnp.isnan(u).any()), "NaN state after bench steps"
 
     rate = n_dofs * n_steps / wall
     baseline = 1.0e7  # 10x the ~1e6 DoF-updates/s single-socket CPU estimate

@@ -100,6 +100,11 @@ class Solver:
                 volume_kernel = "fused" if vol_ok else "xla"
             if post_kernel == "auto":
                 post_kernel = "fused" if post_ok else "xla"
+            if (on_tpu and not self.curvilinear and mask is None):
+                # fused dt/negativity diagnostics (any basis)
+                from dflo_tpu.ops.pallas_kernels import make_fused_diag
+                self._fused_diag = make_fused_diag(basis, mesh, dtype)
+        self._fused_diag = getattr(self, "_fused_diag", None)
         if self.curvilinear:
             from dflo_tpu.solver.spatial_curvi import make_rhs_curvilinear
             if self.limiter_cfg.type == "TVB":
@@ -278,16 +283,23 @@ class Solver:
                 from dflo_tpu.parallel.sharding import cell_sharding
                 u = jax.lax.with_sharding_constraint(
                     u, cell_sharding(self.device_mesh))
-            ubar = self.cell_averages(u)
             fm = self._fmask if self.mask is not None else None
+            use_diag = (self._fused_diag is not None
+                        and self.time_step_type == "global")
             if self.fixed_time_step is not None:
                 # `set time step = ...` with cfl <= 0 (src/claw.cc:455-459)
                 dt = jnp.asarray(self.fixed_time_step, u.dtype)
+            elif use_diag:
+                # one VMEM pass instead of materializing ubar in HBM
+                lam, _ = self._fused_diag(u)
+                dt = self.cfl / lam / (2.0 * self.basis.degree + 1.0)
             elif self.curvilinear:
                 from dflo_tpu.solver.spatial_curvi import compute_dt_curvilinear
+                ubar = self.cell_averages(u)
                 dt = compute_dt_curvilinear(ubar, self.mesh,
                                             self.basis.degree, self.cfl)
             else:
+                ubar = self.cell_averages(u)
                 dt = rk_mod.compute_dt(ubar, self.mesh, self.basis.degree,
                                        self.cfl, mask=fm)
             dt = jnp.minimum(dt, t_end - t)
@@ -295,7 +307,7 @@ class Solver:
             if self.time_step_type == "local" and not self.curvilinear:
                 # per-cell pseudo-transient dt (src/claw.cc:444-481); the
                 # reported/advanced dt stays the global min
-                dt_field = rk_mod.local_dt(ubar, self.mesh,
+                dt_field = rk_mod.local_dt(self.cell_averages(u), self.mesh,
                                            self.basis.degree, self.cfl)
                 if fm is not None:
                     dt_field = jnp.where(fm, dt_field, 0.0)
@@ -310,7 +322,12 @@ class Solver:
                                        self.stage_times,
                                        post_stage=self.post_stage,
                                        dt_field=dt_field)
-            bad = negative_average_flag(self.cell_averages(u), mask=fm)
+            if self._fused_diag is not None:
+                from dflo_tpu.stab.positivity import EPS
+                _, minq = self._fused_diag(u)
+                bad = ~(minq >= EPS)       # NaN-safe (blow-ups trip it too)
+            else:
+                bad = negative_average_flag(self.cell_averages(u), mask=fm)
             if self.method == "implicit":
                 # Newton divergence aborts the run like the reference's
                 # AssertThrow (src/claw.cc:919-923)

@@ -726,3 +726,79 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         return call(u, interpret=_interpret())
 
     return fused_post
+
+
+# ---------------------------------------------------------------------------
+# Fused per-step diagnostics: {cell averages -> max wave speed, min of
+# (rho_avg, p_avg)} reduced in VMEM to one scalar pair per tile.  Replaces
+# two whole-domain XLA passes per step (compute_time_step_cartesian,
+# src/claw.cc:483-512, and the positivity fatal check,
+# src/positivity.cc:26-39) that each materialized the full ubar array.
+# ---------------------------------------------------------------------------
+
+
+def make_fused_diag(basis, mesh, dtype=jnp.float32):
+    """Build diag(u) -> (lam_max, min_rho_p): the global max of
+    (c+|vx|)/h + (c+|vy|)/h over cell averages, and the global min of
+    density/pressure averages (for the fatal-negativity flag)."""
+    K = basis.K
+    avg_np = (basis.wq2 @ basis.V)[None]            # [1, K]
+    h = mesh.diameter_h
+
+    def kernel(avg_ref, u_ref, lam_ref, minq_ref):
+        W = u_ref[:]
+        c, k, ty, tx = W.shape
+        f32 = W.dtype
+        flat = jnp.moveaxis(W, 1, 0).reshape(K, c * ty * tx)
+        ub = jnp.dot(avg_ref[:], flat, preferred_element_type=f32,
+                     precision=jax.lax.Precision.HIGHEST)
+        ub = ub.reshape(c, ty, tx)
+        rho = ub[euler.RHO]
+        pre = (euler.GAMMA - 1.0) * (
+            ub[euler.ENE]
+            - 0.5 * (ub[euler.MX] ** 2 + ub[euler.MY] ** 2) / rho)
+        cs = jnp.sqrt(euler.GAMMA * jnp.abs(pre) / jnp.abs(rho))
+        vx = jnp.abs(ub[euler.MX] / rho)
+        vy = jnp.abs(ub[euler.MY] / rho)
+        lam = (cs + vx) / h + (cs + vy) / h
+        # each program owns one (8,128) block (the minimum TPU tile);
+        # broadcast the tile scalar across it
+        lam_ref[:] = jnp.full((8, 128), jnp.max(lam), f32)
+        minq_ref[:] = jnp.full((8, 128),
+                               jnp.minimum(jnp.min(rho), jnp.min(pre)), f32)
+
+    @functools.partial(jax.jit, static_argnames=("interpret",))
+    def call(u, interpret=False):
+        c, k, ny, nx = u.shape
+        TY = 8
+        while ny % TY:
+            TY //= 2
+        TX = nx
+        for cand in (512, 384, 256, 128):
+            if nx % cand == 0:
+                TX = cand
+                break
+        ni, nj = ny // TY, nx // TX
+        avg = jnp.asarray(avg_np, u.dtype)
+        lam, minq = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((ni * 8, nj * 128), u.dtype),
+                       jax.ShapeDtypeStruct((ni * 8, nj * 128), u.dtype)],
+            grid=(ni, nj),
+            in_specs=[pl.BlockSpec((1, K), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((c, k, TY, TX),
+                                   lambda i, j: (0, 0, i, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                    memory_space=pltpu.VMEM)],
+            interpret=interpret,
+        )(avg, u)
+        return jnp.max(lam), jnp.min(minq)
+
+    def diag(u):
+        return call(u, interpret=_interpret())
+
+    return diag

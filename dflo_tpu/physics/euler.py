@@ -19,6 +19,21 @@ MX, MY, RHO, ENE = 0, 1, 2, 3
 N_COMP = 4
 GAMMA = 1.4  # src/equation.cc:33
 
+#: positivity floor for wave-speed computations.  The Zhang-Shu limiter
+#: guarantees p, rho >= 1e-13 at its check points IN EXACT ARITHMETIC
+#: (src/positivity.cc:27); re-evaluating the same traces in f32 inside the
+#: flux kernels can round marginally-positive pressures negative at strong
+#: shocks (Mach-10 DMR post-shock cells), and an unguarded sqrt then NaNs
+#: the whole run.  Flooring only the sqrt arguments keeps every
+#: finite-state result bit-identical while making f32 production runs
+#: shock-safe; the reference runs f64 only and never hits this.
+FLOOR = 1.0e-13
+
+
+def _pos(x):
+    """max(x, FLOOR) for quantities that are positive up to roundoff."""
+    return jnp.maximum(x, FLOOR)
+
 
 def kinetic_energy(U):
     """0.5*|m|^2/rho  (src/equation.h:67-79)."""
@@ -31,7 +46,7 @@ def pressure(U):
 
 
 def sound_speed(U):
-    return jnp.sqrt(GAMMA * pressure(U) / U[RHO])
+    return jnp.sqrt(GAMMA * _pos(pressure(U)) / _pos(U[RHO]))
 
 
 def max_eigenvalue(U):
@@ -100,7 +115,7 @@ def eigen_matrices(U):
     v = U[MY] / rho
     q2 = u * u + v * v
     p = g1 * (U[ENE] - 0.5 * rho * q2)
-    c2 = GAMMA * p / rho
+    c2 = GAMMA * _pos(p) / _pos(rho)
     c = jnp.sqrt(c2)
     beta = 0.5 / c2
     phi2 = 0.5 * g1 * q2
@@ -140,7 +155,7 @@ def eigen_matrices_dir(U, kx, ky):
     v = U[MY] / rho
     q2 = u * u + v * v
     p = g1 * (U[ENE] - 0.5 * rho * q2)
-    c2 = GAMMA * p / rho
+    c2 = GAMMA * _pos(p) / _pos(rho)
     c = jnp.sqrt(c2)
     beta = 0.5 / c2
     phi2 = 0.5 * g1 * q2

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.scipy.special import erf
 
-from dflo_tpu.physics.euler import (GAMMA, MX, MY, RHO, ENE, pressure,
+from dflo_tpu.physics.euler import (GAMMA, MX, MY, RHO, ENE, _pos, pressure,
                                     max_eigenvalue_normal)
 
 
@@ -51,7 +51,7 @@ def steger_warming(UL, UR, nx, ny, AL=None, AR=None):
         vn = _vn(U, nx, ny)
         q2 = (U[MX] * U[MX] + U[MY] * U[MY]) / (rho * rho)
         p = pressure(U)
-        c = jnp.sqrt(GAMMA * p / rho)
+        c = jnp.sqrt(GAMMA * _pos(p) / _pos(rho))
         if sign > 0:
             l1 = jnp.maximum(vn, 0.0)
             l2 = jnp.maximum(vn + c, 0.0)
@@ -76,7 +76,7 @@ def steger_warming(UL, UR, nx, ny, AL=None, AR=None):
 def roe(UL, UR, nx, ny, AL=None, AR=None):
     """Roe flux with Harten entropy fix delta = 0.1c (src/equation.h:469-556)."""
     rl, rr = UL[RHO], UR[RHO]
-    sl, sr = jnp.sqrt(rl), jnp.sqrt(rr)
+    sl, sr = jnp.sqrt(_pos(rl)), jnp.sqrt(_pos(rr))
     fl = sl / (sl + sr)
     fr = 1.0 - fl
 
@@ -100,7 +100,7 @@ def roe(UL, UR, nx, ny, AL=None, AR=None):
 
     rho = sl * sr
     h = hl * fl + hr * fr
-    c = jnp.sqrt((GAMMA - 1.0) * (h - 0.5 * v2))
+    c = jnp.sqrt(_pos((GAMMA - 1.0) * (h - 0.5 * v2)))
     drho = rr - rl
     dp = pr - pl
     dvn = vnr - vnl
@@ -136,7 +136,7 @@ def roe(UL, UR, nx, ny, AL=None, AR=None):
 def hllc(UL, UR, nx, ny, AL=None, AR=None):
     """HLLC flux, SU2-derived variant (src/equation.h:559-681), branchless."""
     rl, rr = UL[RHO], UR[RHO]
-    sl_, sr_ = jnp.sqrt(rl), jnp.sqrt(rr)
+    sl_, sr_ = jnp.sqrt(_pos(rl)), jnp.sqrt(_pos(rr))
     fl = sl_ / (sl_ + sr_)
     fr = 1.0 - fl
 
@@ -155,13 +155,13 @@ def hllc(UL, UR, nx, ny, AL=None, AR=None):
     pr = (GAMMA - 1.0) * (UR[ENE] - 0.5 * rr * v2r)
     hl = (UL[ENE] + pl) / rl
     hr = (UR[ENE] + pr) / rr
-    cl = jnp.sqrt(GAMMA * pl / rl)
-    cr = jnp.sqrt(GAMMA * pr / rr)
+    cl = jnp.sqrt(GAMMA * _pos(pl) / _pos(rl))
+    cr = jnp.sqrt(GAMMA * _pos(pr) / _pos(rr))
     el = UL[ENE] / rl
     er = UR[ENE] / rr
 
     h = hl * fl + hr * fr
-    c = jnp.sqrt((GAMMA - 1.0) * (h - 0.5 * v2))
+    c = jnp.sqrt(_pos((GAMMA - 1.0) * (h - 0.5 * v2)))
 
     s_l = jnp.minimum(vn - c, vnl - cl)
     s_r = jnp.maximum(vn + c, vnr + cr)
@@ -201,7 +201,7 @@ def _kinetic_split(U, sign, nx, ny):
     """Kinetic split flux of Deshpande/Mandal (src/equation.h:714-751)."""
     vn = _vn(U, nx, ny)
     p = pressure(U)
-    beta = 0.5 * U[RHO] / p
+    beta = 0.5 * _pos(U[RHO]) / _pos(p)
     s = vn * jnp.sqrt(beta)
     A = 0.5 * (1.0 + sign * erf(s))
     B = 0.5 * sign * jnp.exp(-s * s) / jnp.sqrt(jnp.pi * beta)
@@ -259,8 +259,8 @@ def kep(UL, UR, nx, ny, AL=None, AR=None):
 
     pl = (GAMMA - 1.0) * (UL[ENE] - 0.5 * rl * v2l)
     pr = (GAMMA - 1.0) * (UR[ENE] - 0.5 * rr * v2r)
-    betal = 0.5 * rl / pl
-    betar = 0.5 * rr / pr
+    betal = 0.5 * _pos(rl) / _pos(pl)
+    betar = 0.5 * _pos(rr) / _pos(pr)
     beta = logavg(betal, betar)
     a = jnp.sqrt(0.5 * GAMMA / beta)
     p = 0.5 * (rl + rr) / (betal + betar)
@@ -288,8 +288,8 @@ def kep(UL, UR, nx, ny, AL=None, AR=None):
 
     apl = (GAMMA - 1.0) * (AL[ENE] - 0.5 * arl * av2l)
     apr = (GAMMA - 1.0) * (AR[ENE] - 0.5 * arr * av2r)
-    abetal = 0.5 * arl / apl
-    abetar = 0.5 * arr / apr
+    abetal = 0.5 * _pos(arl) / _pos(apl)
+    abetar = 0.5 * _pos(arr) / _pos(apr)
     abeta = logavg(abetal, abetar)
     aa = jnp.sqrt(0.5 * GAMMA / abeta)
     ap = 0.5 * (arl + arr) / (abetal + abetar)
@@ -305,8 +305,8 @@ def kep(UL, UR, nx, ny, AL=None, AR=None):
         jnp.stack([zero, ny * one, -nx * one, v1]),
         jnp.stack([one, au + aa * nx, av + aa * ny, H + aa * avn]),
     ]
-    al_ = jnp.sqrt(GAMMA * apl / arl)
-    ar_ = jnp.sqrt(GAMMA * apr / arr)
+    al_ = jnp.sqrt(GAMMA * _pos(apl) / _pos(arl))
+    ar_ = jnp.sqrt(GAMMA * _pos(apr) / _pos(arr))
     lam = [
         jnp.abs(avn - aa) + BETA * jnp.abs((avnl - al_) - (avnr - ar_)),
         jnp.abs(avn),

@@ -105,8 +105,9 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
 
 def negative_average_flag(ubar, mask=None) -> jnp.ndarray:
     """True if any (fluid) cell-average density or pressure < EPS — the fatal
-    condition of src/positivity.cc:26-39; raise on the host."""
-    bad = jnp.minimum(ubar[euler.RHO], euler.pressure(ubar)) < EPS
+    condition of src/positivity.cc:26-39; raise on the host.  Written as
+    ~(x >= EPS) so NaN states (f32 blow-ups) also trip the flag."""
+    bad = ~(jnp.minimum(ubar[euler.RHO], euler.pressure(ubar)) >= EPS)
     if mask is not None:
         bad = bad & mask
     return jnp.any(bad)

@@ -65,9 +65,13 @@ def test_fused_residual_matches_xla_all_bc_combos():
             rx = make_rhs(basis, mesh, bcs, flux=flx)(u, 0.1)
             rf = make_rhs(basis, mesh, bcs, flux=flx,
                           volume_kernel="fused")(u, 0.1)
+            # 1e-10: the positivity floor in the wave-speed guards puts
+            # Gibbs-overshoot points exactly on `where` thresholds, where
+            # f64 associativity differences between the XLA and in-kernel
+            # contractions can flip a branch
             rel = (float(jnp.abs(rx - rf).max())
                    / float(jnp.abs(rx).max()))
-            assert rel < 1e-12, (name, flx, rel)
+            assert rel < 1e-10, (name, flx, rel)
 
 
 def test_fused_post_matches_xla_chain():
@@ -180,3 +184,25 @@ def test_fused_conservation():
     w = jnp.asarray(basis.wq2 @ basis.V)
     tot = jnp.einsum("k,ckyx->c", w, rf) * mesh.dx * mesh.dy
     np.testing.assert_allclose(np.array(tot), 0.0, atol=1e-11)
+
+
+def test_fused_diag_matches_xla():
+    """make_fused_diag (one-pass dt wave-speed max + negativity min) equals
+    compute_dt / negative_average_flag inputs."""
+    from dflo_tpu.ops.contract import basis_reduce
+    from dflo_tpu.ops.pallas_kernels import make_fused_diag
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(256, 16, 0.0, 4.0, 0.0, 1.0)
+    u = ic.set_initial_condition(basis, mesh, ic.isentropic_vortex(3.0, 1.0, 0.2))
+    lam, minq = make_fused_diag(basis, mesh)(u)
+    ubar = basis_reduce(jnp.asarray(basis.wq2 @ basis.V), u)
+    h = mesh.diameter_h
+    c = euler.sound_speed(ubar)
+    vx = jnp.abs(ubar[euler.MX] / ubar[euler.RHO])
+    vy = jnp.abs(ubar[euler.MY] / ubar[euler.RHO])
+    lam_ref = jnp.max((c + vx) / h + (c + vy) / h)
+    minq_ref = jnp.minimum(jnp.min(ubar[euler.RHO]),
+                           jnp.min(euler.pressure(ubar)))
+    assert abs(float(lam - lam_ref)) < 1e-12 * float(lam_ref)
+    assert abs(float(minq - minq_ref)) < 1e-12 * abs(float(minq_ref))
