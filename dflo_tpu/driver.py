@@ -86,13 +86,16 @@ class Solver:
         if volume_kernel == "auto" or post_kernel == "auto":
             on_tpu = (jax.devices()[0].platform not in ("cpu",)
                       and device_mesh is None)
-            vol_ok = (on_tpu and not self.curvilinear and mask is None
+            vol_ok = (on_tpu and not self.curvilinear
                       and source is None and well_balanced is None
                       and mass_matrix == "diagonal"
                       and basis.family == "Qk" and basis.is_nodal_collocated
                       and basis.degree >= 1
-                      and flux != "kfvs")     # erf has no Mosaic lowering
-            post_ok = (vol_ok and cfg0.type == "TVB"
+                      and flux != "kfvs"      # erf has no Mosaic lowering
+                      # in-kernel flattens need (sublane, lane)-aligned
+                      # cell tiles
+                      and mesh.ny % 8 == 0 and mesh.nx % 128 == 0)
+            post_ok = (vol_ok and mask is None and cfg0.type == "TVB"
                        and not cfg0.conserve_angular_momentum
                        and cfg0.shock_indicator in ("density", "energy",
                                                     "limiter"))
@@ -100,7 +103,8 @@ class Solver:
                 volume_kernel = "fused" if vol_ok else "xla"
             if post_kernel == "auto":
                 post_kernel = "fused" if post_ok else "xla"
-            if (on_tpu and not self.curvilinear and mask is None):
+            if (on_tpu and not self.curvilinear and mask is None
+                    and mesh.ny % 8 == 0 and mesh.nx % 128 == 0):
                 # fused dt/negativity diagnostics (any basis)
                 from dflo_tpu.ops.pallas_kernels import make_fused_diag
                 self._fused_diag = make_fused_diag(basis, mesh, dtype)

@@ -114,9 +114,16 @@ def volume_residual(lift, u):
 # ---------------------------------------------------------------------------
 
 
-def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
+def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend, masked):
     from dflo_tpu.physics.fluxes import get_flux
     num_flux = get_flux(flux_name)
+    refs = list(refs)
+    if masked:
+        # solid-cell mask tiles (self + 4 halo neighbors), fluid = 1;
+        # fluid-solid interfaces get slip-wall mirror operands and solid
+        # residuals are zeroed (mirrors the XLA path's wallx/wally logic)
+        m_ref, m_up_ref, m_dn_ref, m_lf_ref, m_rt_ref = refs[9:14]
+        del refs[9:14]
     if blend:
         # extra inputs: the previous-step state tile + [a, dt] scalars;
         # the kernel then emits the complete SSP stage
@@ -232,26 +239,70 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
 
     A_c = jnp.broadcast_to(ub[:, None], uW.shape)
 
+    def mirror_x(U):
+        return jnp.stack([-U[0], U[1], U[2], U[3]])
+
+    def mirror_y(U):
+        return jnp.stack([U[0], -U[1], U[2], U[3]])
+
+    def wall_fix(FL, FR, AL, AR, mL, mR, mirror):
+        """Slip-wall mirror operands at fluid-solid interfaces
+        (spatial.py's wallx/wally replacement, src/equation.h:787-807)."""
+        wL = ((mL < 0.5) & (mR > 0.5))[None, None]   # L solid | R fluid
+        wR = ((mL > 0.5) & (mR < 0.5))[None, None]
+        FLn = jnp.where(wL, mirror(FR), FL)
+        ALn = jnp.where(wL, mirror(AR), AL)
+        FRn = jnp.where(wR, mirror(FL), FR)
+        ARn = jnp.where(wR, mirror(AL), AR)
+        return FLn, FRn, ALn, ARn
+
+    if masked:
+        m_c = m_ref[:]                              # [ty, tx], fluid = 1
+        m_W = jnp.where(colq[0, 0] == 0, m_lf_ref[:, tx - 1:tx],
+                        jnp.roll(m_c, 1, axis=-1))
+        m_E = jnp.where(colq[0, 0] == tx - 1, m_rt_ref[:, 0:1],
+                        jnp.roll(m_c, -1, axis=-1))
+        m_S = jnp.where(rowq[0, 0] == 0, m_up_ref[ty - 1:ty, :],
+                        jnp.roll(m_c, 1, axis=-2))
+        m_N = jnp.where(rowq[0, 0] == ty - 1, m_dn_ref[0:1, :],
+                        jnp.roll(m_c, -1, axis=-2))
+
     # ---- x interfaces ---------------------------------------------------
     # evaluate each interface flux ONCE: the west-face flux of every
     # column, plus the single east-face flux of the last column (whose
     # interface belongs to the right halo); east faces of interior columns
     # are the next column's west flux, shifted in
     A_lf = jnp.broadcast_to(ub_lf[:, None], uE_lf.shape)
-    Fw_all = num_flux(uE_lf, uW, 1.0, 0.0, AL=A_lf, AR=A_c)  # [4,nq,ty,tx]
-    Fe_last = num_flux(uE[..., tx - 1:tx], uW_rt[..., tx - 1:tx], 1.0, 0.0,
-                       AL=A_c[..., tx - 1:tx],
-                       AR=jnp.broadcast_to(ub_rt[:, None],
-                                           uW_rt.shape)[..., tx - 1:tx])
+    FLx, FRx, ALx, ARx = uE_lf, uW, A_lf, A_c
+    if masked:
+        FLx, FRx, ALx, ARx = wall_fix(FLx, FRx, ALx, ARx, m_W, m_c, mirror_x)
+    Fw_all = num_flux(FLx, FRx, 1.0, 0.0, AL=ALx, AR=ARx)  # [4,nq,ty,tx]
+    FLe = uE[..., tx - 1:tx]
+    FRe = uW_rt[..., tx - 1:tx]
+    ALe = A_c[..., tx - 1:tx]
+    ARe = jnp.broadcast_to(ub_rt[:, None], uW_rt.shape)[..., tx - 1:tx]
+    if masked:
+        FLe, FRe, ALe, ARe = wall_fix(
+            FLe, FRe, ALe, ARe, m_c[:, tx - 1:tx], m_E[:, tx - 1:tx],
+            mirror_x)
+    Fe_last = num_flux(FLe, FRe, 1.0, 0.0, AL=ALe, AR=ARe)
     Fe_all = shift_cols_left(Fw_all, Fe_last, colq)
 
     # ---- y interfaces ---------------------------------------------------
     A_up = jnp.broadcast_to(ub_up[:, None], uN_up.shape)
-    Fs_all = num_flux(uN_up, uS, 0.0, 1.0, AL=A_up, AR=A_c)
-    Fn_last = num_flux(uN[..., ty - 1:ty, :], uS_dn[..., ty - 1:ty, :],
-                       0.0, 1.0, AL=A_c[..., ty - 1:ty, :],
-                       AR=jnp.broadcast_to(ub_dn[:, None],
-                                           uS_dn.shape)[..., ty - 1:ty, :])
+    FLy, FRy, ALy, ARy = uN_up, uS, A_up, A_c
+    if masked:
+        FLy, FRy, ALy, ARy = wall_fix(FLy, FRy, ALy, ARy, m_S, m_c, mirror_y)
+    Fs_all = num_flux(FLy, FRy, 0.0, 1.0, AL=ALy, AR=ARy)
+    FLn = uN[..., ty - 1:ty, :]
+    FRn = uS_dn[..., ty - 1:ty, :]
+    ALn = A_c[..., ty - 1:ty, :]
+    ARn = jnp.broadcast_to(ub_dn[:, None], uS_dn.shape)[..., ty - 1:ty, :]
+    if masked:
+        FLn, FRn, ALn, ARn = wall_fix(
+            FLn, FRn, ALn, ARn, m_c[ty - 1:ty, :], m_N[ty - 1:ty, :],
+            mirror_y)
+    Fn_last = num_flux(FLn, FRn, 0.0, 1.0, AL=ALn, AR=ARn)
     Fn_all = patch_last_row(Fs_all, Fn_last, rowq)
 
     # ---- boundary corrections (delta fluxes, precomputed outside) ------
@@ -284,6 +335,8 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
     R = R + lift(liftf_ref[:, 2 * nq:3 * nq], Fs_all)
     R = R - lift(liftf_ref[:, 3 * nq:4 * nq], Fn_all)
 
+    if masked:
+        R = R * m_c[None, None]                     # solid cells are frozen
     if blend:
         a = sc_ref[0]
         dt = sc_ref[1]
@@ -293,7 +346,7 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend):
 
 
 def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
-                        per_y: bool, dtype=jnp.float32):
+                        per_y: bool, dtype=jnp.float32, mask=None):
     """Build fused(u, dfw, dfe, dfs, dfn) -> M^{-1} R(u) for a collocated
     Qk basis on a Cartesian mesh (the bench/production hot path).
 
@@ -322,15 +375,16 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     trcs = jnp.asarray(trcs, dtype)
     liftv = jnp.asarray(liftv, dtype)
     liftf = jnp.asarray(liftf, dtype)
+    masked = mask is not None
+    fmask = (jnp.asarray(np.asarray(mask, np.float32), dtype)
+             if masked else None)
 
     @functools.partial(jax.jit,
                        static_argnames=("interpret", "blend"))
     def fused(u, dfw, dfe, dfs, dfn, u_old=None, scalars=None,
               interpret=False, blend=False):
         c, k, ny, nx = u.shape
-        TY = 8
-        while ny % TY:
-            TY //= 2
+        TY = 8 if ny % 8 == 0 else ny
         # lanes: largest 128-multiple divisor of nx up to 512, else full nx
         TX = nx
         for cand in (512, 384, 256, 128):
@@ -359,17 +413,34 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
             s, lambda i, j: tuple(0 for _ in s), memory_space=pltpu.VMEM)
         in_specs = [spec_op(trc.shape), spec_op(trcs.shape),
                     spec_op(liftv.shape), spec_op(liftf.shape),
-                    spec_u, spec_up, spec_dn, spec_lf, spec_rt,
-                    pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
-                                 memory_space=pltpu.VMEM)]
-        args = [trc, trcs, liftv, liftf, u, u, u, u, u,
-                jnp.moveaxis(dfw, -1, 0), jnp.moveaxis(dfe, -1, 0), dfs, dfn]
+                    spec_u, spec_up, spec_dn, spec_lf, spec_rt]
+        args = [trc, trcs, liftv, liftf, u, u, u, u, u]
+        if masked:
+            sm = pl.BlockSpec((TY, TX), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+            in_specs += [sm,
+                         pl.BlockSpec((TY, TX),
+                                      lambda i, j: ((i - 1) % ni, j),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((TY, TX),
+                                      lambda i, j: ((i + 1) % ni, j),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((TY, TX),
+                                      lambda i, j: (i, (j - 1) % nj),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((TY, TX),
+                                      lambda i, j: (i, (j + 1) % nj),
+                                      memory_space=pltpu.VMEM)]
+            args += [fmask, fmask, fmask, fmask, fmask]
+        in_specs += [pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((TY, 4, nq), lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
+                                  memory_space=pltpu.VMEM)]
+        args += [jnp.moveaxis(dfw, -1, 0), jnp.moveaxis(dfe, -1, 0), dfs, dfn]
         if blend:
             in_specs += [spec_u,
                          pl.BlockSpec((2,), lambda i, j: (0,),
@@ -378,7 +449,8 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
         return pl.pallas_call(
             functools.partial(_fused_kernel, K=K, nq=nq,
                               flux_name=flux_name,
-                              per_x=per_x, per_y=per_y, blend=blend),
+                              per_x=per_x, per_y=per_y, blend=blend,
+                              masked=masked),
             out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
             grid=(ni, nj),
             in_specs=in_specs,
@@ -680,9 +752,9 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def call(u, interpret=False):
         c, k, ny, nx = u.shape
-        TY = 8
-        while ny % TY:
-            TY //= 2
+        # Mosaic block rule: the last two block dims must be multiples of
+        # (8, 128) or equal to the full array dims
+        TY = 8 if ny % 8 == 0 else ny
         TX = nx
         for cand in (512, 384, 256, 128):
             if nx % cand == 0:
@@ -770,9 +842,9 @@ def make_fused_diag(basis, mesh, dtype=jnp.float32):
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def call(u, interpret=False):
         c, k, ny, nx = u.shape
-        TY = 8
-        while ny % TY:
-            TY //= 2
+        # Mosaic block rule: the last two block dims must be multiples of
+        # (8, 128) or equal to the full array dims
+        TY = 8 if ny % 8 == 0 else ny
         TX = nx
         for cand in (512, 384, 256, 128):
             if nx % cand == 0:

@@ -186,11 +186,11 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     if volume_kernel in ("pallas", "fused") and not collocated:
         raise ValueError(f"volume_kernel={volume_kernel!r} needs a "
                          "collocated basis")
-    if volume_kernel == "fused" and (mask is not None or source is not None
+    if volume_kernel == "fused" and (source is not None
                                      or well_balanced is not None
                                      or mass_matrix != "diagonal"):
         raise ValueError("volume_kernel='fused' covers the plain hot path "
-                         "(no mask/source/well-balanced/full-mass); use "
+                         "(no source/well-balanced/full-mass); use "
                          "'xla' or 'pallas' for those")
     if volume_kernel == "fused" and flux == "kfvs":
         raise ValueError("volume_kernel='fused' cannot compile kfvs on TPU "
@@ -256,8 +256,22 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     if volume_kernel == "fused":
         from dflo_tpu.ops.pallas_kernels import make_fused_residual
         fused_res = make_fused_residual(basis, mesh, flux, per_x, per_y,
-                                        dtype)
+                                        dtype, mask=mask)
         avg_vec = cast(basis.wq2 @ basis.V)     # [K] mean weights
+        if mask is not None:
+            # wrap-interface wall masks: the kernel applies slip-mirror
+            # operands at its periodic-wrapped edge fluxes, so the strip
+            # corrections must subtract the SAME wrap flux
+            mxl = jnp.asarray(mask[:, -1]); mxr = jnp.asarray(mask[:, 0])
+            myl = jnp.asarray(mask[-1, :]); myr = jnp.asarray(mask[0, :])
+
+        def _wallfix(FL, FR, AL, AR, mL, mR, mirror):
+            wL = ((~mL) & mR)[None, None]
+            wR = (mL & (~mR))[None, None]
+            return (jnp.where(wL, mirror(FR), FL),
+                    jnp.where(wR, mirror(FL), FR),
+                    jnp.where(wL, mirror(AR), AL),
+                    jnp.where(wR, mirror(AL), AR))
 
         def _strips(u: Array, t):
             """O(boundary)-cost delta-flux strips for non-periodic sides."""
@@ -272,7 +286,11 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 ubl = jnp.einsum("k,cky->cy", avg_vec, cl, precision=PRECISION)
                 A0 = jnp.broadcast_to(ub0[:, None], uW0.shape)
                 Al = jnp.broadcast_to(ubl[:, None], uEl.shape)
-                Fwrap = num_flux(uEl, uW0, 1.0, 0.0, AL=Al, AR=A0)
+                FL, FR, AL_, AR_ = uEl, uW0, Al, A0
+                if mask is not None:
+                    FL, FR, AL_, AR_ = _wallfix(FL, FR, AL_, AR_,
+                                                mxl, mxr, _mirror_x)
+                Fwrap = num_flux(FL, FR, 1.0, 0.0, AL=AL_, AR=AR_)
                 dfw = -boundary_flux("W", uW0, ub0, t) - Fwrap
                 dfe = boundary_flux("E", uEl, ubl, t) - Fwrap
             if per_y:
@@ -285,7 +303,11 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 ubl = jnp.einsum("k,ckx->cx", avg_vec, rl, precision=PRECISION)
                 A0 = jnp.broadcast_to(ub0[:, None], uS0.shape)
                 Al = jnp.broadcast_to(ubl[:, None], uNl.shape)
-                Fwrap = num_flux(uNl, uS0, 0.0, 1.0, AL=Al, AR=A0)
+                FL, FR, AL_, AR_ = uNl, uS0, Al, A0
+                if mask is not None:
+                    FL, FR, AL_, AR_ = _wallfix(FL, FR, AL_, AR_,
+                                                myl, myr, _mirror_y)
+                Fwrap = num_flux(FL, FR, 0.0, 1.0, AL=AL_, AR=AR_)
                 dfs = -boundary_flux("S", uS0, ub0, t) - Fwrap
                 dfn = boundary_flux("N", uNl, ubl, t) - Fwrap
             return dfw, dfe, dfs, dfn

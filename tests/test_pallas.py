@@ -206,3 +206,37 @@ def test_fused_diag_matches_xla():
                            jnp.min(euler.pressure(ubar)))
     assert abs(float(lam - lam_ref)) < 1e-12 * float(lam_ref)
     assert abs(float(minq - minq_ref)) < 1e-12 * abs(float(minq_ref))
+
+
+def test_fused_residual_masked_matches_xla():
+    """volume_kernel='fused' with a solid-cell mask (forward-step domain):
+    slip-wall mirror fluxes at fluid-solid interfaces and frozen solid
+    cells match the XLA masked path to roundoff."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(96, 32, 0.0, 3.0, 0.0, 1.0)
+    mask = np.ones((32, 96), bool)
+    mask[:8, 20:] = False          # the forward step
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 3.0 * 1.4), jnp.zeros_like(x),
+         jnp.full_like(x, 1.4),
+         jnp.full_like(x, 1.0 / (euler.GAMMA - 1.0) + 0.5 * 1.4 * 9.0)])
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+
+    def ic_fn(x, y, t=0.0):
+        return inflow(x, y, t)
+
+    u = ic.set_initial_condition(basis, mesh, ic_fn)
+    # perturb so interfaces carry real jumps
+    rng = np.random.RandomState(0)
+    u = u * (1.0 + 0.01 * jnp.asarray(rng.rand(*u.shape)))
+    for flx in ("hllc", "lxf"):
+        rx = make_rhs(basis, mesh, bcs, flux=flx, mask=mask)(u, 0.1)
+        rf = make_rhs(basis, mesh, bcs, flux=flx, mask=mask,
+                      volume_kernel="fused")(u, 0.1)
+        rel = float(jnp.abs(rx - rf).max()) / float(jnp.abs(rx).max())
+        assert rel < 1e-10, (flx, rel)
+        # solid cells frozen
+        assert float(jnp.abs(rf[:, :, ~mask]).max()) == 0.0
