@@ -92,6 +92,9 @@ class Solver:
                       and basis.family == "Qk" and basis.is_nodal_collocated
                       and basis.degree >= 1
                       and flux != "kfvs"      # erf has no Mosaic lowering
+                      # the implicit path differentiates rhs with jax.jvp;
+                      # pallas_call has no JVP rule
+                      and method in ("rk", "mood")
                       # in-kernel flattens need (sublane, lane)-aligned
                       # cell tiles
                       and mesh.ny % 8 == 0 and mesh.nx % 128 == 0)
