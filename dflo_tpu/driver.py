@@ -89,9 +89,7 @@ class Solver:
             vol_ok = (on_tpu and not self.curvilinear
                       and source is None and well_balanced is None
                       and mass_matrix == "diagonal"
-                      and basis.family == "Qk" and basis.is_nodal_collocated
                       and basis.degree >= 1
-                      and flux != "kfvs"      # erf has no Mosaic lowering
                       # the implicit path differentiates rhs with jax.jvp;
                       # pallas_call has no JVP rule
                       and method in ("rk", "mood")
@@ -99,6 +97,7 @@ class Solver:
                       # cell tiles
                       and mesh.ny % 8 == 0 and mesh.nx % 128 == 0)
             post_ok = (vol_ok and mask is None and cfg0.type == "TVB"
+                       and basis.family == "Qk" and basis.is_nodal_collocated
                        and not cfg0.conserve_angular_momentum
                        and cfg0.shock_indicator in ("density", "energy",
                                                     "limiter"))

@@ -114,10 +114,17 @@ def volume_residual(lift, u):
 # ---------------------------------------------------------------------------
 
 
-def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend, masked):
+def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend, masked,
+                  collocated=True, Q=None):
     from dflo_tpu.physics.fluxes import get_flux
-    num_flux = get_flux(flux_name)
+    num_flux = get_flux(flux_name, kernel_safe=True)
     refs = list(refs)
+    if not collocated:
+        # modal / non-collocated bases (Pk Legendre, over-integrated Qk):
+        # the volume flux needs point values Wq = V u at the Q quadrature
+        # points (the XLA path's basis_apply(V, u), spatial.py:331); the
+        # trace/avg/lift operators act on coefficients and are unchanged
+        vop_ref = refs.pop(4)
     if masked:
         # solid-cell mask tiles (self + 4 halo neighbors), fluid = 1;
         # fluid-solid interfaces get slip-wall mirror operands and solid
@@ -225,17 +232,26 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend, masked):
                     precision=jax.lax.Precision.HIGHEST)
         return jnp.moveaxis(r.reshape(K, c, ty, tx), 0, 1)
 
-    # ---- volume flux (collocated nodes) -------------------------------
-    rho = W[euler.RHO]
+    # ---- volume flux ---------------------------------------------------
+    if collocated:
+        Wv = W                                      # nodes == quad points
+        nQ = K
+    else:
+        nQ = Q
+        flatW = jnp.moveaxis(W, 1, 0).reshape(K, c * ty * tx)
+        Wq = jnp.dot(vop_ref[:], flatW, preferred_element_type=W.dtype,
+                     precision=P)
+        Wv = jnp.moveaxis(Wq.reshape(nQ, c, ty, tx), 1, 0)
+    rho = Wv[euler.RHO]
     pres = (euler.GAMMA - 1.0) * (
-        W[euler.ENE] - 0.5 * (W[euler.MX] ** 2 + W[euler.MY] ** 2) / rho)
-    uvel = W[euler.MX] / rho
-    vvel = W[euler.MY] / rho
-    Fx = jnp.stack([W[euler.MX] * uvel + pres, W[euler.MY] * uvel,
-                    W[euler.MX], (W[euler.ENE] + pres) * uvel])
-    Fy = jnp.stack([W[euler.MX] * vvel, W[euler.MY] * vvel + pres,
-                    W[euler.MY], (W[euler.ENE] + pres) * vvel])
-    R = lift(liftv_ref[:, :K], Fx) + lift(liftv_ref[:, K:], Fy)
+        Wv[euler.ENE] - 0.5 * (Wv[euler.MX] ** 2 + Wv[euler.MY] ** 2) / rho)
+    uvel = Wv[euler.MX] / rho
+    vvel = Wv[euler.MY] / rho
+    Fx = jnp.stack([Wv[euler.MX] * uvel + pres, Wv[euler.MY] * uvel,
+                    Wv[euler.MX], (Wv[euler.ENE] + pres) * uvel])
+    Fy = jnp.stack([Wv[euler.MX] * vvel, Wv[euler.MY] * vvel + pres,
+                    Wv[euler.MY], (Wv[euler.ENE] + pres) * vvel])
+    R = lift(liftv_ref[:, :nQ], Fx) + lift(liftv_ref[:, nQ:], Fy)
 
     A_c = jnp.broadcast_to(ub[:, None], uW.shape)
 
@@ -347,13 +363,18 @@ def _fused_kernel(*refs, K, nq, flux_name, per_x, per_y, blend, masked):
 
 def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                         per_y: bool, dtype=jnp.float32, mask=None):
-    """Build fused(u, dfw, dfe, dfs, dfn) -> M^{-1} R(u) for a collocated
-    Qk basis on a Cartesian mesh (the bench/production hot path).
+    """Build fused(u, dfw, dfe, dfs, dfn) -> M^{-1} R(u) for any
+    diagonal-mass basis on a Cartesian mesh (the bench/production hot path):
+    collocated Qk/Qk_gll directly, modal Pk (the MOOD basis,
+    src/parameters.cc:541-544) and over-integrated Qk via an in-kernel
+    V contraction to quadrature-point values.
 
     The mass solve and area scaling are folded into the lift constants:
     rows of every lift operator are pre-multiplied by minv/area, so the
     kernel's single output IS du/dt's interior part."""
     K, nq = basis.K, basis.nq
+    collocated = basis.is_nodal_collocated
+    Q = len(basis.wq2)
     scale = (1.0 / basis.mass)[:, None] / (mesh.dx * mesh.dy)
     GxW = basis.wq2[:, None] * basis.Gx
     GyW = basis.wq2[:, None] * basis.Gy
@@ -375,6 +396,7 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     trcs = jnp.asarray(trcs, dtype)
     liftv = jnp.asarray(liftv, dtype)
     liftf = jnp.asarray(liftf, dtype)
+    vop = None if collocated else jnp.asarray(basis.V, dtype)
     masked = mask is not None
     fmask = (jnp.asarray(np.asarray(mask, np.float32), dtype)
              if masked else None)
@@ -412,9 +434,13 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
         spec_op = lambda s: pl.BlockSpec(  # noqa: E731
             s, lambda i, j: tuple(0 for _ in s), memory_space=pltpu.VMEM)
         in_specs = [spec_op(trc.shape), spec_op(trcs.shape),
-                    spec_op(liftv.shape), spec_op(liftf.shape),
-                    spec_u, spec_up, spec_dn, spec_lf, spec_rt]
-        args = [trc, trcs, liftv, liftf, u, u, u, u, u]
+                    spec_op(liftv.shape), spec_op(liftf.shape)]
+        args = [trc, trcs, liftv, liftf]
+        if not collocated:
+            in_specs += [spec_op(vop.shape)]
+            args += [vop]
+        in_specs += [spec_u, spec_up, spec_dn, spec_lf, spec_rt]
+        args += [u, u, u, u, u]
         if masked:
             sm = pl.BlockSpec((TY, TX), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)
@@ -450,7 +476,7 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
             functools.partial(_fused_kernel, K=K, nq=nq,
                               flux_name=flux_name,
                               per_x=per_x, per_y=per_y, blend=blend,
-                              masked=masked),
+                              masked=masked, collocated=collocated, Q=Q),
             out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
             grid=(ni, nj),
             in_specs=in_specs,

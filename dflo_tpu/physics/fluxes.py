@@ -197,13 +197,27 @@ def hllc(UL, UR, nx, ny, AL=None, AR=None):
     return jnp.where(s_m >= 0.0, left, right)
 
 
-def _kinetic_split(U, sign, nx, ny):
+def erf_approx(x):
+    """Rational erf approximation, Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7,
+    i.e. below f32 roundoff).  The reference carries its own ERF for the same
+    reason deal.II lacked one (src/equation.h:686-712); here the approximation
+    exists because jax.scipy.special.erf has no Mosaic (Pallas TPU) lowering,
+    so the fused kernels use this kernel-safe variant of kfvs."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _kinetic_split(U, sign, nx, ny, erf_fn=erf):
     """Kinetic split flux of Deshpande/Mandal (src/equation.h:714-751)."""
     vn = _vn(U, nx, ny)
     p = pressure(U)
     beta = 0.5 * _pos(U[RHO]) / _pos(p)
     s = vn * jnp.sqrt(beta)
-    A = 0.5 * (1.0 + sign * erf(s))
+    A = 0.5 * (1.0 + sign * erf_fn(s))
     B = 0.5 * sign * jnp.exp(-s * s) / jnp.sqrt(jnp.pi * beta)
     ufact = vn * A + B
     return jnp.stack([
@@ -217,6 +231,13 @@ def _kinetic_split(U, sign, nx, ny):
 def kfvs(UL, UR, nx, ny, AL=None, AR=None):
     """KFVS flux (src/equation.h:756-782)."""
     return _kinetic_split(UL, +1, nx, ny) + _kinetic_split(UR, -1, nx, ny)
+
+
+def kfvs_kernel(UL, UR, nx, ny, AL=None, AR=None):
+    """kfvs with the A&S erf (the Mosaic-compilable variant; agrees with
+    kfvs to 1.5e-7 relative, below f32 eps)."""
+    return (_kinetic_split(UL, +1, nx, ny, erf_fn=erf_approx)
+            + _kinetic_split(UR, -1, nx, ny, erf_fn=erf_approx))
 
 
 def logavg(a, b):
@@ -349,7 +370,11 @@ FLUX_FUNCTIONS = {
 }
 
 
-def get_flux(name: str):
+def get_flux(name: str, kernel_safe: bool = False):
+    """Flux by prm name; kernel_safe=True swaps kfvs for its A&S-erf variant
+    (jax.scipy erf has no Mosaic lowering)."""
+    if kernel_safe and name == "kfvs":
+        return kfvs_kernel
     try:
         return FLUX_FUNCTIONS[name]
     except KeyError:

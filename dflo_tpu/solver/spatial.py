@@ -183,18 +183,15 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     elif mass_matrix != "diagonal":
         raise ValueError(f"unknown mass matrix option {mass_matrix!r}")
     collocated = basis.is_nodal_collocated and basis.nq == basis.degree + 1
-    if volume_kernel in ("pallas", "fused") and not collocated:
-        raise ValueError(f"volume_kernel={volume_kernel!r} needs a "
-                         "collocated basis")
+    if volume_kernel == "pallas" and not collocated:
+        raise ValueError("volume_kernel='pallas' needs a collocated basis "
+                         "(the fully-fused kernel handles modal bases)")
     if volume_kernel == "fused" and (source is not None
                                      or well_balanced is not None
                                      or mass_matrix != "diagonal"):
         raise ValueError("volume_kernel='fused' covers the plain hot path "
                          "(no source/well-balanced/full-mass); use "
                          "'xla' or 'pallas' for those")
-    if volume_kernel == "fused" and flux == "kfvs":
-        raise ValueError("volume_kernel='fused' cannot compile kfvs on TPU "
-                         "(ERF has no Mosaic lowering); use 'xla'")
 
     if well_balanced is not None:
         if well_balanced not in ("isothermal", "polytropic"):

@@ -240,3 +240,78 @@ def test_fused_residual_masked_matches_xla():
         assert rel < 1e-10, (flx, rel)
         # solid cells frozen
         assert float(jnp.abs(rf[:, :, ~mask]).max()) == 0.0
+
+
+def test_fused_residual_pk_and_kfvs_match_xla():
+    """Modal-Pk (the MOOD basis) and kfvs (A&S-erf variant) ride the fused
+    kernel: Pk uses the in-kernel V contraction to quadrature-point values
+    (src/main.cc:46 FE_DGP path); kfvs agrees to the 1.5e-7 erf-approx
+    tolerance (src/equation.h:686-782)."""
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=per, N=per)
+    mesh = CartesianMesh(256, 16, 0.0, 4.0, 0.0, 1.0)
+
+    def smooth(x, y, t=0.0):
+        rho = 1.0 + 0.2 * jnp.sin(2 * jnp.pi * x / 4) * jnp.cos(2 * jnp.pi * y)
+        vx = 0.3 + 0.05 * jnp.cos(2 * jnp.pi * x / 4)
+        vy = -0.2 + 0.05 * jnp.sin(2 * jnp.pi * y)
+        p = 1.0 + 0.1 * jnp.cos(2 * jnp.pi * y)
+        return jnp.stack([rho * vx, rho * vy, rho,
+                          p / (euler.GAMMA - 1.0) + 0.5 * rho * (vx**2 + vy**2)])
+
+    for fam in ("Pk", "Qk"):
+        basis = make_basis(fam, 2)
+        u = ic.set_initial_condition(basis, mesh, smooth)
+        for flx, tol in (("hllc", 1e-11), ("kfvs", 1e-7), ("lxf", 1e-11)):
+            rx = make_rhs(basis, mesh, bcs, flux=flx)(u, 0.1)
+            rf = make_rhs(basis, mesh, bcs, flux=flx,
+                          volume_kernel="fused")(u, 0.1)
+            rel = float(jnp.abs(rx - rf).max()) / float(jnp.abs(rx).max())
+            assert rel < tol, (fam, flx, rel)
+
+
+def test_mood_stage_rides_fused_kernel():
+    """A single MOOD cascade stage with the fused Pk residual matches the
+    XLA residual to roundoff — identical degree maps, counters, and
+    candidate states (the BASELINE config-4 hot path; full-trajectory
+    comparison is meaningless because the DMP thresholds of src/mood.cc:
+    314-317 flip on last-bit rounding, which even XLA's own jit-vs-eager
+    fusion differences trigger)."""
+    from dflo_tpu.driver import LimiterConfig, Solver
+
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(128, 16, 0.0, 4.0, 0.0, 1.0)
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 8.0 * 7.14471), jnp.full_like(x, -8.0 * 4.125),
+         jnp.full_like(x, 8.0),
+         jnp.full_like(x, 116.5 / (euler.GAMMA - 1.0)
+                       + 0.5 * 8.0 * (7.14471**2 + 4.125**2))])
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_FARFIELD, inflow))
+
+    def dmr_ic(x, y, t=0.0):
+        post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))
+        rho = jnp.where(post, 8.0, 1.4)
+        vx = jnp.where(post, 7.14471, 0.0)
+        vy = jnp.where(post, -4.125, 0.0)
+        p = jnp.where(post, 116.5, 1.0)
+        return jnp.stack([rho * vx, rho * vy, rho,
+                          p / (euler.GAMMA - 1.0)
+                          + 0.5 * rho * (vx**2 + vy**2)])
+
+    lim = LimiterConfig(type="TVB", shock_indicator="density", beta=2.0,
+                        char_lim=True, pos_lim=True)
+    ss = {vk: Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5,
+                     method="mood", volume_kernel=vk)
+          for vk in ("xla", "fused")}
+    u = ss["xla"].post_stage(ic.set_initial_condition(basis, mesh, dmr_ic))
+    dt = 2.4e-4
+    cx, mx, sx = ss["xla"]._mood_stage(u, 0.0, dt)
+    cf, mf, sf = ss["fused"]._mood_stage(u, 0.0, dt)
+    assert int(jnp.sum(mx != mf)) == 0
+    assert int(sx.n_reduce) == int(sf.n_reduce) and int(sx.n_reduce) > 0
+    assert int(sx.iters) == int(sf.iters)
+    rel = float(jnp.abs(cx - cf).max()) / float(jnp.abs(cx).max())
+    assert rel < 1e-12, rel
