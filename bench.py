@@ -35,38 +35,46 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     nx, ny = (1152, 288) if on_tpu else (192, 48)
+
+    def measure(solver, u0, n_steps):
+        """Time the REAL production step loop: CFL dt + RK stages +
+        stabilization chain + NaN-safe negativity flag, all device-side
+        (Solver._multi_step)."""
+        n_dofs = 4 * solver.basis.K * nx * ny
+        u0 = solver.post_stage(u0)
+        multi = solver._multi_step(n_steps)
+        zero = jnp.zeros((), u0.dtype)
+        t_end = jnp.asarray(1e9, u0.dtype)
+        # warmup/compile (first compile on the axon tunnel can take minutes)
+        out = multi(u0, zero, t_end)
+        jax.block_until_ready(out[0])
+        t0 = time.perf_counter()
+        out = multi(u0, zero, t_end)
+        jax.block_until_ready(out[0])
+        wall = time.perf_counter() - t0
+        u, n_done, bad = out[0], out[2], out[3]
+        assert int(n_done) == n_steps, f"loop stopped early at {int(n_done)}"
+        assert not bool(bad), "negativity/NaN flag tripped during bench"
+        assert not bool(jnp.isnan(u).any()), "NaN state after bench steps"
+        return n_dofs * n_steps / wall
+
     solver, u0 = ge._build(nx, ny)
-    n_dofs = 4 * solver.basis.K * nx * ny
+    rate = measure(solver, u0, 50 if on_tpu else 10)
 
-    # the REAL production step loop: CFL dt + RK3 stages + stabilization
-    # chain + NaN-safe negativity flag, all device-side (Solver._multi_step)
-    n_steps = 50 if on_tpu else 10
-    u0 = solver.post_stage(u0)
-    multi = solver._multi_step(n_steps)
-    zero = jnp.zeros((), u0.dtype)
-    t_end = jnp.asarray(1e9, u0.dtype)
+    # BASELINE config 4 exactly: double_mach Q2 with the MOOD cascade —
+    # which mandates the modal Pk basis (src/parameters.cc:536-544); the
+    # cascade's candidate residuals ride the fused Pallas kernel
+    solver_m, u0_m = ge._build(nx, ny, method="mood")
+    rate_mood = measure(solver_m, u0_m, 20 if on_tpu else 5)
 
-    # warmup/compile (first compile on the axon tunnel can take minutes)
-    out = multi(u0, zero, t_end)
-    jax.block_until_ready(out[0])
-
-    t0 = time.perf_counter()
-    out = multi(u0, zero, t_end)
-    jax.block_until_ready(out[0])
-    wall = time.perf_counter() - t0
-
-    u, n_done, bad = out[0], out[2], out[3]
-    assert int(n_done) == n_steps, f"loop stopped early at {int(n_done)}"
-    assert not bool(bad), "negativity/NaN flag tripped during bench"
-    assert not bool(jnp.isnan(u).any()), "NaN state after bench steps"
-
-    rate = n_dofs * n_steps / wall
     baseline = 1.0e7  # 10x the ~1e6 DoF-updates/s single-socket CPU estimate
     print(json.dumps({
         "metric": "dmr_q2_dof_updates_per_sec",
         "value": rate,
         "unit": "DoF-updates/s",
         "vs_baseline": rate / baseline,
+        "extra": {"dmr_q2_pk_mood_dof_updates_per_sec": rate_mood,
+                  "mood_vs_baseline": rate_mood / baseline},
     }))
 
 
