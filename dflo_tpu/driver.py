@@ -84,8 +84,19 @@ class Solver:
         # interpret-mode Pallas would crawl.
         cfg0 = self.limiter_cfg
         if volume_kernel == "auto" or post_kernel == "auto":
-            on_tpu = (jax.devices()[0].platform not in ("cpu",)
-                      and device_mesh is None)
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            # per-device block dims must be (sublane, lane)-tile aligned;
+            # single-chip is the (1, 1) device mesh of this rule
+            if device_mesh is not None:
+                DY_, DX_ = device_mesh.devices.shape
+                tiles_ok = (mesh.ny % DY_ == 0 and mesh.nx % DX_ == 0
+                            and (mesh.ny // DY_) % 8 == 0
+                            and (mesh.nx // DX_) % 128 == 0
+                            # sharded fused path has no masked-domain
+                            # delta-strip support
+                            and mask is None)
+            else:
+                tiles_ok = mesh.ny % 8 == 0 and mesh.nx % 128 == 0
             vol_ok = (on_tpu and not self.curvilinear
                       and source is None and well_balanced is None
                       and mass_matrix == "diagonal"
@@ -93,10 +104,9 @@ class Solver:
                       # the implicit path differentiates rhs with jax.jvp;
                       # pallas_call has no JVP rule
                       and method in ("rk", "mood")
-                      # in-kernel flattens need (sublane, lane)-aligned
-                      # cell tiles
-                      and mesh.ny % 8 == 0 and mesh.nx % 128 == 0)
-            post_ok = (vol_ok and mask is None and cfg0.type == "TVB"
+                      and tiles_ok)
+            post_ok = (vol_ok and device_mesh is None
+                       and mask is None and cfg0.type == "TVB"
                        and basis.family == "Qk" and basis.is_nodal_collocated
                        and not cfg0.conserve_angular_momentum
                        and cfg0.shock_indicator in ("density", "energy",
@@ -105,7 +115,8 @@ class Solver:
                 volume_kernel = "fused" if vol_ok else "xla"
             if post_kernel == "auto":
                 post_kernel = "fused" if post_ok else "xla"
-            if (on_tpu and not self.curvilinear and mask is None
+            if (on_tpu and device_mesh is None and not self.curvilinear
+                    and mask is None
                     and mesh.ny % 8 == 0 and mesh.nx % 128 == 0):
                 # fused dt/negativity diagnostics (any basis)
                 from dflo_tpu.ops.pallas_kernels import make_fused_diag
@@ -131,7 +142,8 @@ class Solver:
                                 potential=potential,
                                 polytropic_nu=polytropic_nu,
                                 mass_matrix=mass_matrix,
-                                volume_kernel=volume_kernel)
+                                volume_kernel=volume_kernel,
+                                device_mesh=device_mesh)
         self.avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
 
         cfg = self.limiter_cfg
@@ -174,6 +186,7 @@ class Solver:
         self._positivity = (make_positivity_limiter(basis, mesh, dtype)
                             if cfg.pos_lim else None)
         self._fused_post = None
+        self._post_diag = False
         if post_kernel == "fused":
             # one-VMEM-pass {averages -> indicator -> TVB -> positivity}
             # chain; same eligibility envelope as volume_kernel='fused'
@@ -186,10 +199,16 @@ class Solver:
                 raise ValueError("post_kernel='fused' covers the plain "
                                  "Cartesian Qk TVB hot path only")
             from dflo_tpu.ops.pallas_kernels import make_fused_post
+            # for the plain RK method the post kernel also emits the
+            # (lam_max, minq) diagnostics from its in-kernel averages, so
+            # the step's standalone diag passes disappear (post preserves
+            # cell means, making end-of-stage values exact)
+            self._post_diag = method == "rk"
             self._fused_post = make_fused_post(
                 basis, mesh, indicator=cfg.shock_indicator, M=cfg.M,
                 beta=cfg.beta, char_lim=cfg.char_lim, pos_lim=cfg.pos_lim,
-                per_x=per_x, per_y=per_y, dtype=dtype)
+                per_x=per_x, per_y=per_y, dtype=dtype,
+                with_diag=self._post_diag)
         elif post_kernel != "xla":
             raise ValueError(f"unknown post kernel {post_kernel!r}")
 
@@ -233,7 +252,8 @@ class Solver:
     def post_stage(self, u, t=0.0):
         """Stabilization chain after each RK stage (src/claw.cc:762-766)."""
         if self._fused_post is not None:
-            return self._fused_post(u)
+            out = self._fused_post(u)
+            return out[0] if self._post_diag else out
         u = self.apply_mask(u)
         if self._limit is None and self._positivity is None:
             return u
@@ -283,8 +303,19 @@ class Solver:
                 u = self._positivity(u, ubar)
         return u, stats
 
-    def _make_step(self):
-        def step(u, t, t_end):
+    def _make_step(self, carry_lam: bool = False):
+        """carry_lam=True builds the chunked-loop variant
+        step(u, t, t_end, lam_prev) -> (..., lam_next): the CFL wave speed
+        rides the loop carry (seeded once per chunk) instead of a per-step
+        whole-state diag pass — valid because the post chain preserves cell
+        means, so the final stage's in-kernel lam equals lam(u_next)."""
+        use_post_diag = self._post_diag and self.method == "rk"
+        if carry_lam:
+            assert (use_post_diag and self.fixed_time_step is None
+                    and self.time_step_type == "global"
+                    and not self.curvilinear)
+
+        def step(u, t, t_end, lam_prev=None):
             if self.device_mesh is not None:
                 from dflo_tpu.parallel.sharding import cell_sharding
                 u = jax.lax.with_sharding_constraint(
@@ -295,6 +326,8 @@ class Solver:
             if self.fixed_time_step is not None:
                 # `set time step = ...` with cfl <= 0 (src/claw.cc:455-459)
                 dt = jnp.asarray(self.fixed_time_step, u.dtype)
+            elif carry_lam:
+                dt = self.cfl / lam_prev / (2.0 * self.basis.degree + 1.0)
             elif use_diag:
                 # one VMEM pass instead of materializing ubar in HBM
                 lam, _ = self._fused_diag(u)
@@ -318,17 +351,27 @@ class Solver:
                 if fm is not None:
                     dt_field = jnp.where(fm, dt_field, 0.0)
             stats = ()
+            diag_out = None
             if self.method == "mood":
                 u, stats = self._mood_rk_step(u, t, dt)
             elif self.method == "implicit":
                 u, stats = self._implicit_step(
                     u, t, dt if dt_field is None else dt_field)
+            elif use_post_diag:
+                u, lam_new, minq = rk_mod.ssp_rk_step(
+                    self.rhs, u, t, dt, self.ark, self.stage_times,
+                    post_stage=lambda v, tt: self._fused_post(v),
+                    dt_field=dt_field, post_diag=True)
+                diag_out = (lam_new, minq)
             else:
                 u = rk_mod.ssp_rk_step(self.rhs, u, t, dt, self.ark,
                                        self.stage_times,
                                        post_stage=self.post_stage,
                                        dt_field=dt_field)
-            if self._fused_diag is not None:
+            if diag_out is not None:
+                from dflo_tpu.stab.positivity import EPS
+                bad = ~(diag_out[1] >= EPS)   # NaN-safe
+            elif self._fused_diag is not None:
                 from dflo_tpu.stab.positivity import EPS
                 _, minq = self._fused_diag(u)
                 bad = ~(minq >= EPS)       # NaN-safe (blow-ups trip it too)
@@ -338,6 +381,8 @@ class Solver:
                 # Newton divergence aborts the run like the reference's
                 # AssertThrow (src/claw.cc:919-923)
                 bad = bad | stats.diverged
+            if carry_lam:
+                return u, dt, bad, stats, diag_out[0]
             return u, dt, bad, stats
         return step
 
@@ -348,29 +393,44 @@ class Solver:
         accumulated in Kahan compensated form so long f32 runs on TPU don't
         drift.  Returns (u, t, n_done, bad, last_stats)."""
         if chunk not in self._multi_cache:
-            step = self._make_step()
+            carry_lam = (self._post_diag and self.method == "rk"
+                         and self._fused_diag is not None
+                         and self.fixed_time_step is None
+                         and self.time_step_type == "global"
+                         and not self.curvilinear)
+            step = self._make_step(carry_lam=carry_lam)
 
             def multi(u, t, t_end):
                 zero = jnp.zeros((), t.dtype)
-                st_shape = jax.eval_shape(step, u, t, t_end)[3]
+                if carry_lam:
+                    # seed once per chunk; thereafter the wave speed comes
+                    # free from the final stage's fused post diagnostics
+                    lam0, _ = self._fused_diag(u)
+                    st_shape = jax.eval_shape(step, u, t, t_end, lam0)[3]
+                else:
+                    lam0 = jnp.zeros((), t.dtype)
+                    st_shape = jax.eval_shape(step, u, t, t_end)[3]
                 stats0 = jax.tree_util.tree_map(
                     lambda s: jnp.zeros(s.shape, s.dtype), st_shape)
 
                 def body(carry):
-                    u, t, comp, it, _bad, _stats = carry
-                    un, dt, bad, stats = step(u, t, t_end)
+                    u, t, comp, it, _bad, _stats, lam = carry
+                    if carry_lam:
+                        un, dt, bad, stats, lam = step(u, t, t_end, lam)
+                    else:
+                        un, dt, bad, stats = step(u, t, t_end)
                     y = dt - comp
                     t2 = t + y
                     comp = (t2 - t) - y
-                    return un, t2, comp, it + 1, bad, stats
+                    return un, t2, comp, it + 1, bad, stats, lam
 
                 def cond(carry):
-                    _u, t, _c, it, bad, _s = carry
+                    _u, t, _c, it, bad, _s, _lam = carry
                     return (t < t_end - 1e-12) & (it < chunk) & ~bad
 
-                u, t, _c, it, bad, stats = jax.lax.while_loop(
+                u, t, _c, it, bad, stats, _lam = jax.lax.while_loop(
                     cond, body, (u, t, zero, jnp.asarray(0),
-                                 jnp.asarray(False), stats0))
+                                 jnp.asarray(False), stats0, lam0))
                 return u, t, it, bad, stats
 
             self._multi_cache[chunk] = jax.jit(multi)

@@ -38,7 +38,7 @@ def default_scheme(degree: int) -> str:
 
 def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
                 post_stage: Callable | None = None, unroll: bool = False,
-                dt_field=None):
+                dt_field=None, post_diag: bool = False):
     """One SSP-RK step: u(t) -> u(t + dt).
 
     The stage loop is a lax.scan over the (blend, stage-time) coefficient
@@ -54,13 +54,22 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
 
     If `rhs` exposes a `.stage(u, u_old, t, a, dt)` attribute (the fused
     Pallas path) and dt is scalar, the residual + SSP blend run as ONE
-    kernel pass per stage."""
+    kernel pass per stage.
+
+    post_diag=True: `post_stage` returns (u, lam_max, minq) (the fused post
+    kernel's free diagnostics); the step then returns the FINAL stage's
+    (u, lam_max, minq).  Because the stabilization chain preserves cell
+    means exactly, that lam/minq equal the standalone diag pass on the
+    step's result — the caller's two whole-state diagnostic reads vanish."""
     import jax
 
+    if post_diag and post_stage is None:
+        raise ValueError("post_diag requires a post_stage")
     stage_fn = getattr(rhs, "stage", None) if dt_field is None else None
     dtu = dt if dt_field is None else dt_field
     u_old = u
     if unroll or len(ark) == 1:
+        diag = None
         for a, c in zip(ark, stage_times):
             if stage_fn is not None:
                 u = stage_fn(u, u_old, t + c * dt, a, dt)
@@ -68,8 +77,12 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
                 u = u + dtu * rhs(u, t + c * dt)
                 u = a * u_old + (1.0 - a) * u
             if post_stage is not None:
-                u = post_stage(u, t + c * dt)
-        return u
+                if post_diag:
+                    u, lam, minq = post_stage(u, t + c * dt)
+                    diag = (lam, minq)
+                else:
+                    u = post_stage(u, t + c * dt)
+        return (u, *diag) if post_diag else u
 
     coeffs = jnp.asarray([ark, stage_times], dtype=u.dtype).T  # [n_rk, 2]
 
@@ -81,10 +94,15 @@ def ssp_rk_step(rhs: Callable, u, t, dt, ark, stage_times,
             v = u + dtu * rhs(u, t + c * dt)
             v = a * u_old + (1.0 - a) * v
         if post_stage is not None:
+            if post_diag:
+                v, lam, minq = post_stage(v, t + c * dt)
+                return v, (lam, minq)
             v = post_stage(v, t + c * dt)
         return v, None
 
-    u, _ = jax.lax.scan(body, u, coeffs)
+    u, ys = jax.lax.scan(body, u, coeffs)
+    if post_diag:
+        return u, ys[0][-1], ys[1][-1]
     return u
 
 

@@ -155,3 +155,110 @@ def test_sod_limited_1_vs_8_devices():
 
     np.testing.assert_allclose(np.array(uN), np.array(u1),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_fused_rhs_sharded_matches_xla_periodic():
+    """shard_map'd fused residual (ppermute halo strips) == global XLA rhs
+    on a fully periodic vortex: every device seam correction must degenerate
+    to the true wrap flux (SURVEY §5.8 comms design, VERDICT r2 item 2)."""
+    from dflo_tpu.solver.spatial import make_rhs
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(32, 16, -5.0, 5.0, -5.0, 5.0)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=per, N=per)
+    u0 = ic.set_initial_condition(basis, mesh, ic.isentropic_vortex())
+
+    rhs_x = make_rhs(basis, mesh, bcs, flux="hllc")
+    dm = device_mesh((2, 4))
+    rhs_s = make_rhs(basis, mesh, bcs, flux="hllc", volume_kernel="fused",
+                     device_mesh=dm)
+    r_ref = np.array(rhs_x(u0, 0.0))
+    r_shd = np.array(rhs_s(shard_state(u0, dm), 0.0))
+    np.testing.assert_allclose(r_shd, r_ref, rtol=1e-11, atol=1e-11)
+
+
+def test_fused_stage_sharded_matches_xla_bcs():
+    """Sharded fused SSP stage with non-periodic segmented boundaries: the
+    per-device delta strips select BC flux at global edges (dynamic-sliced
+    face coordinates) and ppermuted neighbor traces at interior seams."""
+    from dflo_tpu.solver.spatial import make_rhs
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(48, 16, 0.0, 3.0, 0.0, 1.0)
+    inflow = lambda x, y, t: dmr_ic(x, y, t)  # noqa: E731
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_FARFIELD, inflow))
+    u0 = ic.set_initial_condition(basis, mesh, dmr_ic)
+
+    rhs_x = make_rhs(basis, mesh, bcs, flux="hllc")
+    rhs_f1 = make_rhs(basis, mesh, bcs, flux="hllc", volume_kernel="fused")
+    dm = device_mesh((2, 4))
+    rhs_s = make_rhs(basis, mesh, bcs, flux="hllc", volume_kernel="fused",
+                     device_mesh=dm)
+    r_ref = np.array(rhs_x(u0, 0.1))
+    r_f1 = np.array(rhs_f1(u0, 0.1))
+    r_shd = np.array(rhs_s(shard_state(u0, dm), 0.1))
+    scale = np.abs(r_ref).max()          # DMR fluxes reach ~2e5; the fused
+    # path's reassociated contractions sit ~1e-10 relative to that scale
+    # (same deviation the single-device fused kernel shows vs XLA)
+    assert np.abs(r_shd - r_ref).max() / scale < 1e-9
+    assert np.abs(r_shd - r_f1).max() / scale < 1e-9
+    # the fused blend stage a*u_old + (1-a)*(u + dt*R)
+    dt, a = 1e-4, 0.75
+    ref = np.array(a * u0 + (1.0 - a) * (u0 + dt * rhs_x(u0, 0.0)))
+    got = np.array(rhs_s.stage(shard_state(u0, dm), shard_state(u0, dm),
+                               0.0, a, dt))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-9
+
+
+def test_fused_sharded_solver_end_to_end():
+    """Solver(volume_kernel='fused', device_mesh=...) runs a limited shock
+    problem end-to-end and matches the single-device FUSED solver.
+
+    The comparison is fused-vs-fused: per-evaluation seam handling agrees
+    to ~1e-16 (pinned at 1e-11 by the rhs-level tests above), but a shock
+    trajectory amplifies roundoff through discrete limiter/indicator
+    thresholds, so the end-to-end tolerance is the amplified one.  The
+    step count and final time must match exactly (same dt sequence)."""
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(128, 16, 0.0, 1.0, 0.0, 0.125)
+    bcs = dict(W=BoundarySide(euler.BC_OUTFLOW), E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP), N=BoundarySide(euler.BC_SLIP))
+    lim = LimiterConfig(type="TVB", shock_indicator="density", beta=2.0,
+                        char_lim=True, pos_lim=True)
+    u0 = ic.set_initial_condition(basis, mesh, sod_ic)
+
+    s1 = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5,
+                volume_kernel="fused")
+    u1, t1, it1 = s1.run(u0, 0.02)
+
+    dm = device_mesh((2, 4))
+    sN = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5,
+                device_mesh=dm, volume_kernel="fused")
+    uN, tN, itN = sN.run(shard_state(u0, dm), 0.02)
+    assert (t1, it1) == (tN, itN)
+    a1, aN = np.array(u1), np.array(uN)
+    # pointwise-roundoff equality is unattainable BY DESIGN here: the
+    # sharded kernel's seam arithmetic (block-wrap flux + ppermuted delta)
+    # reassociates f64 operations, and one flipped indicator/minmod
+    # threshold at the shock turns ~1e-16 into an O(1e-3) local difference
+    # over the ~50-step trajectory.  Assert physical closeness (small L1,
+    # bounded max) — the strict per-evaluation equality is pinned at 1e-11
+    # by the rhs-level tests above, and the short-horizon check below
+    # catches any systematic seam error before a threshold can flip.
+    l1 = np.abs(aN - a1).mean() / np.abs(a1).mean()
+    assert l1 < 2e-5, l1
+    assert np.abs(aN - a1).max() < 0.05
+    # --- short horizon: strict ------------------------------------------
+    us, uss = u0, shard_state(u0, dm)
+    t = jnp.zeros(())
+    for _ in range(5):
+        us, dt1, _, _ = s1._step(us, t, jnp.asarray(1.0))
+        uss, dtN, _, _ = sN._step(uss, t, jnp.asarray(1.0))
+        assert float(dt1) == float(dtN)
+        t = t + dt1
+    np.testing.assert_allclose(np.array(uss), np.array(us),
+                               rtol=1e-10, atol=1e-10)
