@@ -21,8 +21,11 @@ def save_checkpoint(path: str, u, t: float, it: int, *, basis=None,
     if basis is not None:
         meta.update(family=basis.family, degree=basis.degree)
     if mesh is not None:
-        meta.update(nx=mesh.nx, ny=mesh.ny, x0=mesh.x0, x1=mesh.x1,
-                    y0=mesh.y0, y1=mesh.y1)
+        if hasattr(mesh, "nx"):
+            meta.update(nx=mesh.nx, ny=mesh.ny, x0=mesh.x0, x1=mesh.x1,
+                        y0=mesh.y0, y1=mesh.y1)
+        else:   # unstructured flat-cell mesh
+            meta.update(n_cells=mesh.n_cells)
     np.savez_compressed(path, u=np.asarray(u), t=float(t), it=int(it),
                         **meta, **(extra or {}))
 
@@ -42,6 +45,10 @@ def load_checkpoint(path: str, *, basis=None, mesh=None):
                 f"checkpoint basis {data.get('family')}{data.get('degree')} "
                 f"does not match solver {basis.family}{basis.degree}")
     if mesh is not None:
-        if int(data.get("nx")) != mesh.nx or int(data.get("ny")) != mesh.ny:
+        if hasattr(mesh, "nx"):
+            if int(data.get("nx")) != mesh.nx \
+                    or int(data.get("ny")) != mesh.ny:
+                raise ValueError("checkpoint mesh size mismatch")
+        elif "n_cells" in data and int(data["n_cells"]) != mesh.n_cells:
             raise ValueError("checkpoint mesh size mismatch")
     return u, t, it, data

@@ -57,3 +57,26 @@ def cell_sharding(mesh: Mesh) -> NamedSharding:
 def shard_state(u, mesh: Mesh):
     """Place a state array onto the device mesh."""
     return jax.device_put(u, cell_sharding(mesh))
+
+
+# ---------------------------------------------------------------------------
+# Flat-cell (unstructured) decomposition: u[4, K, N] split over one axis.
+# The face-gather/scatter tables become GSPMD gather collectives — the
+# all-to-neighbor exchange of the reference's distributed Triangulation
+# ghost layer (src_mpi/claw.cc:331-340) without an explicit partitioner.
+# ---------------------------------------------------------------------------
+
+def device_mesh_1d(devices=None) -> Mesh:
+    """1-D ('cells',) device mesh for the flat-cell unstructured layout."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("cells",))
+
+
+def flat_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of u[4, K, N]: the cell axis split, the rest replicated."""
+    return NamedSharding(mesh, P(None, None, "cells"))
+
+
+def shard_state_flat(u, mesh: Mesh):
+    """Place a flat-cell state array onto the 1-D device mesh."""
+    return jax.device_put(u, flat_sharding(mesh))

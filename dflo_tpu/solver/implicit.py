@@ -64,25 +64,28 @@ def make_block_jacobi(F: Callable, u, n_comp: int = 4):
     index, seeding that index in EVERY cell simultaneously; by locality of
     the DG operator, the response within each cell is exactly its diagonal
     block (cross-cell responses land in off-diagonal blocks we discard).
-    Returns Minv(v) applying the batched dense block inverses."""
-    c, K, ny, nx = u.shape
+    Returns Minv(v) applying the batched dense block inverses.
+
+    Layout-agnostic: u is [c, K, *spatial] — (c, K, ny, nx) on the
+    structured paths, (c, K, N) on the unstructured flat-cell path."""
+    c, K = u.shape[0], u.shape[1]
+    sp = u.shape[2:]
     n = c * K
 
     def column(kk):
         tang = jnp.zeros((n,), u.dtype).at[kk].set(1.0)
-        tang = jnp.broadcast_to(tang.reshape(c, K, 1, 1), u.shape)
-        return jax.jvp(F, (u,), (tang,))[1]          # [c, K, ny, nx]
+        tang = jnp.broadcast_to(tang.reshape(c, K, *([1] * len(sp))), u.shape)
+        return jax.jvp(F, (u,), (tang,))[1]          # [c, K, *sp]
 
-    cols = jax.lax.map(column, jnp.arange(n))        # [n, c, K, ny, nx]
-    J = cols.reshape(n, n, ny, nx)                   # J[row per (c,K)? see below]
-    # cols[kk] is dF/du_kk -> columns; move to [ny, nx, n(row), n(col)]
-    J = jnp.transpose(J, (2, 3, 1, 0))
-    Jinv = jnp.linalg.inv(J)                         # batched [ny, nx, n, n]
+    cols = jax.lax.map(column, jnp.arange(n))        # [n(col), c, K, *sp]
+    J = cols.reshape(n, n, -1)                       # [n(col), n(row), M]
+    J = jnp.transpose(J, (2, 1, 0))                  # [M, n(row), n(col)]
+    Jinv = jnp.linalg.inv(J)                         # batched [M, n, n]
 
     def Minv(v):
-        vb = jnp.transpose(v.reshape(n, ny, nx), (1, 2, 0))
-        out = jnp.einsum("yxij,yxj->yxi", Jinv, vb, precision=PRECISION)
-        return jnp.transpose(out, (2, 0, 1)).reshape(c, K, ny, nx)
+        vb = jnp.transpose(v.reshape(n, -1), (1, 0))             # [M, n]
+        out = jnp.einsum("mij,mj->mi", Jinv, vb, precision=PRECISION)
+        return jnp.transpose(out, (1, 0)).reshape(u.shape)
 
     return Minv
 
@@ -106,7 +109,9 @@ def make_implicit_step(rhs: Callable, theta: float = 1.0,
 
     def step(u_old, t, dt):
         dtb = jnp.asarray(dt)
-        if dtb.ndim == 2:
+        if dtb.ndim > 0:
+            # per-cell field ([ny, nx] structured, [N] unstructured) ->
+            # broadcast over the (component, DoF) axes
             dtb = dtb[None, None]
 
         def F(v):

@@ -309,3 +309,194 @@ def test_vtu_output_unstructured(tmp_path):
     write_vtu_unstructured(path, basis, mesh, u, t=0.1)
     data = open(path, "rb").read()
     assert b"UnstructuredGrid" in data and b"Density" in data
+
+
+# ---------------------------------------------------------------------------
+# structured-parity features (VERDICT r2 item 4): KXRCF, implicit, sharding,
+# chunked run, checkpointing
+# ---------------------------------------------------------------------------
+
+def _shock_state(basis, cm):
+    """Oblique moving shock (nonzero velocity so KXRCF inflow faces exist)."""
+    def fn(x, y, t=0.0):
+        L = x + 0.3 * y <= 0.5
+        rho = jnp.where(L, 1.0, 0.125)
+        vx = jnp.where(L, 0.7, 0.0)
+        vy = jnp.where(L, 0.2, 0.0)
+        p = jnp.where(L, 1.0, 0.1)
+        return jnp.stack([rho * vx, rho * vy, rho,
+                          p / (euler.GAMMA - 1.0) + 0.5 * rho * (vx**2 + vy**2)])
+    return ic.set_initial_condition(basis, cm, fn)
+
+
+def test_kxrcf_unstructured_matches_structured():
+    """Density/energy KXRCF through the face-gather tables reproduces the
+    structured sweep (src/indicator.cc:48-198) on a Cartesian grid viewed as
+    an unstructured mesh."""
+    from dflo_tpu.ops.contract import basis_reduce
+    from dflo_tpu.stab.indicator import make_shock_indicator
+    from dflo_tpu.stab.indicator_unstruct import \
+        make_shock_indicator_unstructured
+
+    basis = make_basis("Qk", 2)
+    cm = CartesianMesh(24, 8, 0.0, 1.0, 0.0, 0.25)
+    um = from_curvilinear(cm)
+    u = _shock_state(basis, cm)
+    avg_op = jnp.asarray(basis.wq2 @ basis.V)
+    ubar = basis_reduce(avg_op, u)
+    uf = jnp.asarray(np.array(u).reshape(4, basis.K, -1))
+    ubf = jnp.asarray(np.array(ubar).reshape(4, -1))
+    for kind in ("density", "energy"):
+        ind_s = make_shock_indicator(basis, cm, kind)
+        ind_u = make_shock_indicator_unstructured(basis, um, kind)
+        s_s, _ = ind_s(u, ubar, 0.0)
+        s_u, _ = ind_u(uf, ubf, 0.0)
+        np.testing.assert_allclose(np.array(s_u).reshape(8, 24),
+                                   np.array(s_s), rtol=1e-9, atol=1e-11)
+        assert np.array(s_u).max() > 1.0     # the shock IS detected
+
+
+def test_kxrcf_drives_unstructured_limiter():
+    """shock indicator = density on the unstructured driver limits ONLY
+    near the discontinuity: smooth-region DoFs are untouched while the
+    mark-all variant would clip them."""
+    basis = make_basis("Qk", 2)
+    cm = CartesianMesh(24, 8, 0.0, 1.0, 0.0, 0.25)
+    um = from_curvilinear(cm, side_bids={"W": 1, "E": 2, "S": 3, "N": 4})
+    bct = {1: BoundarySide(euler.BC_OUTFLOW), 2: BoundarySide(euler.BC_OUTFLOW),
+           3: BoundarySide(euler.BC_SLIP), 4: BoundarySide(euler.BC_SLIP)}
+    lim = LimiterConfig(type="minmax", shock_indicator="density",
+                        char_lim=True, pos_lim=False)
+    s = UnstructuredSolver(basis, um, bct, flux="hllc", limiter=lim, cfl=0.5)
+    u = _shock_state(basis, cm)
+    uf = jnp.asarray(np.array(u).reshape(4, basis.K, -1))
+    out = s.post_stage(uf, 0.0)
+    marked, _ = s._indicator(uf, s.cell_averages(uf), 0.0)
+    marked = np.array(marked) > 1.0
+    assert marked.any() and not marked.all()
+    # unmarked smooth cells keep their exact polynomial
+    diff = np.abs(np.array(out) - np.array(uf)).max(axis=(0, 1))
+    assert diff[~marked].max() < 1e-14
+
+
+def test_implicit_unstructured_matches_structured():
+    """One backward-Euler Newton step on the flat-cell layout == the
+    structured implicit path (solver.implicit is layout-agnostic;
+    src/assemble_implicit.cc runs on any quad mesh)."""
+    from dflo_tpu.driver import Solver
+
+    basis = make_basis("Qk", 1)
+    cm = CartesianMesh(12, 8, -5.0, 5.0, -2.0, 2.0)
+    um = from_curvilinear(cm, side_bids={"W": 1, "E": 2, "S": 3, "N": 4})
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 0.5), jnp.zeros_like(x), jnp.ones_like(x),
+         jnp.full_like(x, 2.625)])
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_FARFIELD, inflow))
+    bct = {1: bcs["W"], 2: bcs["E"], 3: bcs["S"], 4: bcs["N"]}
+    lim = LimiterConfig(type="none", pos_lim=False)
+    dt = 2e-3
+    s_s = Solver(basis, cm, bcs, flux="hllc", limiter=lim, method="implicit",
+                 theta=1.0, max_nonlin_iter=3, linear_residual=1e-10,
+                 fixed_time_step=dt, precondition="block_jacobi")
+    s_u = UnstructuredSolver(basis, um, bct, flux="hllc", limiter=lim,
+                             method="implicit", theta=1.0, max_nonlin_iter=3,
+                             linear_residual=1e-10, fixed_time_step=dt,
+                             precondition="block_jacobi")
+    u = ic.set_initial_condition(basis, cm, ic.isentropic_vortex())
+    uf = jnp.asarray(np.array(u).reshape(4, basis.K, -1))
+    u1, _, bad1, st1 = s_s._step(u, jnp.zeros(()), jnp.full((), 1.0))
+    u2, _, bad2, st2 = s_u._step(uf, jnp.zeros(()), jnp.full((), 1.0))
+    assert not bool(bad1) and not bool(bad2)
+    assert not bool(st1.diverged) and not bool(st2.diverged)
+    np.testing.assert_allclose(np.array(u2).reshape(np.array(u1).shape),
+                               np.array(u1), rtol=1e-7, atol=1e-9)
+
+
+def test_implicit_on_gravity_disk():
+    """The radial-gravity disk runs IMPLICIT (VERDICT r2 item 4 'done'
+    criterion): one Newton step on the well-balanced hydrostatic disk stays
+    at equilibrium and the Newton loop converges."""
+    basis = make_basis("Qk_gll", 1)
+    mesh = disk_butterfly(1.0, 2 * np.pi / 24)
+    bct = {1: BoundarySide(euler.BC_SLIP)}
+    lim = LimiterConfig(type="none", pos_lim=False)
+    s = UnstructuredSolver(basis, mesh, bct, flux="hllc", limiter=lim,
+                           method="implicit", theta=1.0, max_nonlin_iter=2,
+                           linear_residual=1e-8, fixed_time_step=1e-3,
+                           well_balanced="isothermal", potential=_pot)
+    u0 = set_initial_condition_unstructured(basis, mesh, iso_eq)
+    u1, dt, bad, st = s._step(u0, jnp.zeros(()), jnp.full((), 1.0))
+    assert not bool(bad) and not bool(st.diverged)
+    # hydrostatic equilibrium is preserved through the implicit update
+    assert float(jnp.abs(u1 - u0).max()) < 1e-10
+
+
+def test_unstructured_1_vs_8_devices():
+    """Flat-cell GSPMD sharding: the disk shock run gives the same answer on
+    1 and 8 virtual devices (parallel.flat_sharding)."""
+    import jax
+    from dflo_tpu.parallel.sharding import device_mesh_1d, shard_state_flat
+
+    basis = make_basis("Qk", 1)
+    cm = CartesianMesh(32, 8, 0.0, 1.0, 0.0, 0.25)
+    um = from_curvilinear(cm, side_bids={"W": 1, "E": 2, "S": 3, "N": 4})
+    bct = {1: BoundarySide(euler.BC_OUTFLOW), 2: BoundarySide(euler.BC_OUTFLOW),
+           3: BoundarySide(euler.BC_SLIP), 4: BoundarySide(euler.BC_SLIP)}
+    lim = LimiterConfig(type="minmax", shock_indicator="density",
+                        char_lim=True, pos_lim=True)
+    u0 = _shock_state(basis, cm)
+    uf = jnp.asarray(np.array(u0).reshape(4, basis.K, -1))
+
+    s1 = UnstructuredSolver(basis, um, bct, flux="hllc", limiter=lim, cfl=0.5)
+    u1, t1, it1 = s1.run(uf, 0.05)
+
+    dm = device_mesh_1d(jax.devices()[:8])
+    s8 = UnstructuredSolver(basis, um, bct, flux="hllc", limiter=lim, cfl=0.5,
+                            device_mesh=dm)
+    u8, t8, it8 = s8.run(shard_state_flat(uf, dm), 0.05)
+    assert (t1, it1) == (t8, it8)
+    np.testing.assert_allclose(np.array(u8), np.array(u1),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_unstructured_chunked_run_matches_per_step():
+    """run(chunk=N) on the unstructured driver == the per-step host loop."""
+    basis = make_basis("Qk", 1)
+    cm = CartesianMesh(24, 8, 0.0, 1.0, 0.0, 0.25)
+    um = from_curvilinear(cm, side_bids={"W": 1, "E": 2, "S": 3, "N": 4})
+    bct = {1: BoundarySide(euler.BC_OUTFLOW), 2: BoundarySide(euler.BC_OUTFLOW),
+           3: BoundarySide(euler.BC_SLIP), 4: BoundarySide(euler.BC_SLIP)}
+    lim = LimiterConfig(type="minmax", shock_indicator="density",
+                        char_lim=True, pos_lim=True)
+    u0 = _shock_state(basis, cm)
+    uf = jnp.asarray(np.array(u0).reshape(4, basis.K, -1))
+    s = UnstructuredSolver(basis, um, bct, flux="hllc", limiter=lim, cfl=0.5)
+    u1, t1, it1 = s.run(uf, 0.04, chunk=1)
+    u2, t2, it2 = s.run(uf, 0.04, chunk=16)
+    assert it1 == it2
+    assert abs(t1 - t2) < 1e-14
+    # the two loops are different XLA programs (while_loop body vs
+    # standalone jit), so fusion reassociates at ~1 ulp
+    np.testing.assert_allclose(np.array(u2), np.array(u1),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_unstructured_checkpoint_roundtrip(tmp_path):
+    """save/load_checkpoint on the flat-cell layout, incl. the n_cells
+    signature validation."""
+    from dflo_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    basis = make_basis("Qk", 1)
+    mesh = disk_butterfly(1.0, 2 * np.pi / 24)
+    u = np.asarray(set_initial_condition_unstructured(basis, mesh, iso_eq))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, u, 0.25, 7, basis=basis, mesh=mesh)
+    u2, t2, it2, _ = load_checkpoint(path, basis=basis, mesh=mesh)
+    assert (t2, it2) == (0.25, 7)
+    np.testing.assert_array_equal(u2, u)
+    other = disk_butterfly(1.0, 2 * np.pi / 30)
+    with pytest.raises(ValueError):
+        load_checkpoint(path, basis=basis, mesh=other)
