@@ -114,15 +114,18 @@ class TileTopology:
     fluid: np.ndarray           # [nty, ntx] bool, False = solid tile
     Lmap: np.ndarray            # [nty, ntx] current level per tile
     slots: list                 # slots[l] = [(ty, tx), ...] active tiles
+    per_x: bool = False         # periodic wrap along tile columns
+    per_y: bool = False
 
     @classmethod
-    def create(cls, nty, ntx, max_level, capacities, fluid=None):
+    def create(cls, nty, ntx, max_level, capacities, fluid=None,
+               per_x=False, per_y=False):
         fluid = np.ones((nty, ntx), bool) if fluid is None \
             else np.asarray(fluid, bool)
         Lmap = np.zeros((nty, ntx), np.int64)
         Lmap[~fluid] = 0
         topo = cls(nty, ntx, max_level, list(capacities), fluid, Lmap,
-                   [None] * (max_level + 1))
+                   [None] * (max_level + 1), per_x, per_y)
         topo._assign_slots()
         return topo
 
@@ -151,28 +154,39 @@ class TileTopology:
         for _ in range(self.max_level + 2):
             changed = False
             for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-                nb = np.full_like(L, -1)
-                src = L
-                if dy == 0 and dx == 1:
-                    nb[:, :-1] = src[:, 1:]
-                elif dy == 0:
-                    nb[:, 1:] = src[:, :-1]
-                elif dy == 1:
-                    nb[:-1, :] = src[1:, :]
+                wrap = self.per_x if dy == 0 else self.per_y
+                if wrap:
+                    # periodic neighbor levels wrap around the domain
+                    # (DoFHandler periodicity, src_mpi/DealiiExtensions.h:
+                    # 40-119: the constraint graph crosses the seam)
+                    nb = np.roll(L, (-dy, -dx), axis=(0, 1))
+                    fl_nb = np.roll(self.fluid, (-dy, -dx), axis=(0, 1))
                 else:
-                    nb[1:, :] = src[:-1, :]
-                # fluid tiles only: solid neighbors impose nothing
-                if not self.fluid.all():
-                    fl = np.full_like(self.fluid, False)
+                    nb = np.full_like(L, -1)
+                    src = L
                     if dy == 0 and dx == 1:
-                        fl[:, :-1] = self.fluid[:, 1:]
+                        nb[:, :-1] = src[:, 1:]
                     elif dy == 0:
-                        fl[:, 1:] = self.fluid[:, :-1]
+                        nb[:, 1:] = src[:, :-1]
                     elif dy == 1:
-                        fl[:-1, :] = self.fluid[1:, :]
+                        nb[:-1, :] = src[1:, :]
                     else:
-                        fl[1:, :] = self.fluid[:-1, :]
-                    nb = np.where(fl, nb, -1)
+                        nb[1:, :] = src[:-1, :]
+                    fl_nb = None
+                    if not self.fluid.all():
+                        fl = np.full_like(self.fluid, False)
+                        if dy == 0 and dx == 1:
+                            fl[:, :-1] = self.fluid[:, 1:]
+                        elif dy == 0:
+                            fl[:, 1:] = self.fluid[:, :-1]
+                        elif dy == 1:
+                            fl[:-1, :] = self.fluid[1:, :]
+                        else:
+                            fl[1:, :] = self.fluid[:-1, :]
+                        fl_nb = fl
+                # fluid tiles only: solid neighbors impose nothing
+                if fl_nb is not None:
+                    nb = np.where(fl_nb, nb, -1)
                 need = np.maximum(nb - 1, 0)
                 up = self.fluid & (L < need)
                 if up.any():
@@ -243,8 +257,15 @@ class AMRSolver:
             cap = min(self.nty * self.ntx,
                       max(4, self.amr.max_elements // (m * m)))
             caps.append(cap)
+        # periodic wrap (pair symmetry validated by the config layer; the
+        # reference's periodic cell map recurses refinement levels,
+        # src_mpi/DealiiExtensions.h:40-119 + src_mpi/claw.cc:155-205 —
+        # here the wrap lives in the tile neighbor tables)
+        self.per_x = bcs["W"].kind == euler.BC_PERIODIC
+        self.per_y = bcs["S"].kind == euler.BC_PERIODIC
         self.capacities = caps
-        self.topo = TileTopology.create(self.nty, self.ntx, L, caps, fluid)
+        self.topo = TileTopology.create(self.nty, self.ntx, L, caps, fluid,
+                                        per_x=self.per_x, per_y=self.per_y)
 
         # per-level cell sizes and constants
         self.m = [T * 2**lv for lv in range(L + 1)]
@@ -277,9 +298,11 @@ class AMRSolver:
                     "E": _as_segmented(bcs["E"], mesh.ny),
                     "S": _as_segmented(bcs["S"], mesh.nx),
                     "N": _as_segmented(bcs["N"], mesh.nx)}
-        for name in ("W", "E", "S", "N"):
-            if self.bcs[name].kind == euler.BC_PERIODIC:
-                raise ValueError("AMR path does not support periodic BCs yet")
+        if (self.bcs["W"].kind == euler.BC_PERIODIC) != \
+                (self.bcs["E"].kind == euler.BC_PERIODIC) or \
+                (self.bcs["S"].kind == euler.BC_PERIODIC) != \
+                (self.bcs["N"].kind == euler.BC_PERIODIC):
+            raise ValueError("periodic BCs must be set in W/E or S/N pairs")
         self._bc_xy, self._bc_seg = [], []
         for lv in range(L + 1):
             d, dseg = {}, {}
@@ -310,6 +333,8 @@ class AMRSolver:
 
         self._tables = self._build_tables()
         self._step = jax.jit(self._make_step())
+        self._multi_cache = {}
+        self.last_adapt_stats = None
         import dflo_tpu.solver.rk as _rk
         self.ark, self.stage_times = _rk.rk_coeffs(
             _rk.default_scheme(b.degree))
@@ -348,9 +373,20 @@ class AMRSolver:
                     continue
                 for s in range(4):
                     ny_, nx_ = ty + _DY[s], tx + _DX[s]
-                    if not (0 <= ny_ < topo.nty and 0 <= nx_ < topo.ntx):
-                        kind[s, i] = DOMAIN
-                        continue
+                    # periodic wrap of the tile neighbor index; otherwise
+                    # out-of-range means the physical domain boundary
+                    if not (0 <= nx_ < topo.ntx):
+                        if topo.per_x:
+                            nx_ %= topo.ntx
+                        else:
+                            kind[s, i] = DOMAIN
+                            continue
+                    if not (0 <= ny_ < topo.nty):
+                        if topo.per_y:
+                            ny_ %= topo.nty
+                        else:
+                            kind[s, i] = DOMAIN
+                            continue
                     if not topo.fluid[ny_, nx_]:
                         kind[s, i] = WALL
                         continue
@@ -800,29 +836,39 @@ class AMRSolver:
     # ------------------------------------------------------------------
     def _tile_scores(self, pools):
         """max log(1+|grad rho|) per tile at its current level
-        (compute_refinement_indicators, src/equation.h:1085-1116)."""
+        (compute_refinement_indicators, src/equation.h:1085-1116).
+
+        Also counts the CELLS whose indicator exceeds the threshold — what
+        the reference's per-cell flagging (src/refine.cc:48-60) would
+        refine — so the T x T tile granularity overhead is measurable
+        (VERDICT r2 item 9).  Returns (scores[nty, ntx], n_cells_flagged)."""
         from dflo_tpu.ops.contract import basis_apply1
         b = self.basis
         Gx, Gy = b.grad_at(np.array([[0.5, 0.5]]))
         Gx = jnp.asarray(Gx, self.dtype)
         Gy = jnp.asarray(Gy, self.dtype)
         scores = np.zeros((self.nty, self.ntx))
+        n_flagged = 0
         for lv in range(self.max_level + 1):
             rho = pools[lv][euler.RHO]                      # [K, P, m, m]
             dxr = basis_apply1(Gx, rho)[0] / self.dx[lv]
             dyr = basis_apply1(Gy, rho)[0] / self.dy[lv]
             ind = np.asarray(jnp.log1p(jnp.sqrt(dxr**2 + dyr**2)))
             sc = ind.max(axis=(1, 2))
+            over = ind > self.amr.shock_value               # [P, m, m]
             for i, (ty, tx) in enumerate(self.topo.slots[lv]):
-                scores[ty, tx] = sc[i]
-        return scores
+                if self.topo.fluid[ty, tx] and self.topo.Lmap[ty, tx] == lv:
+                    scores[ty, tx] = sc[i]
+                    if lv < self.max_level:
+                        n_flagged += int(over[i].sum())
+        return scores, n_flagged
 
     def adapt(self, pools, force_pins: bool = False):
         """Re-level tiles by the indicator and transfer the solution.
         Returns (new_pools, changed)."""
         amr = self.amr
         topo = self.topo
-        scores = self._tile_scores(pools)
+        scores, n_cells_flagged = self._tile_scores(pools)
         L = topo.Lmap
         up = (scores > amr.shock_value) & (L < self.max_level)
         down = scores < amr.coarsen_factor * amr.shock_value
@@ -850,6 +896,15 @@ class AMRSolver:
                 drop = sel[np.argsort(sc)[:len(sel) - cap]]
                 newL[drop[:, 0], drop[:, 1]] = lv - 1
                 newL = topo.balance(newL)
+        # tile-granularity accounting (VERDICT r2 item 9): active cells
+        # under the T x T scheme vs what exact per-cell flags would
+        # activate (each flagged cell -> 4 children, src/refine.cc:48-60)
+        n_before = self.n_active_cells()
+        self.last_adapt_stats = {
+            "cells_active": n_before,
+            "cells_flagged": n_cells_flagged,
+            "cells_percell_scheme": n_before + 3 * n_cells_flagged,
+        }
         changed = bool((newL != topo.Lmap).any())
         if not changed:
             return pools, False
@@ -895,6 +950,7 @@ class AMRSolver:
                 fine = pools[lv + 1][:, :, src]            # [4,K,n,2m,2m]
                 U = U.at[:, :, dst].set(self._patch_restrict(fine))
             new_pools.append(U)
+        self.last_adapt_stats["cells_active_after"] = self.n_active_cells()
         return new_pools, True
 
     def _patch_prolong(self, Uc):
@@ -946,11 +1002,65 @@ class AMRSolver:
                       and self.topo.Lmap[ty, tx] == lv]) * self.m[lv]**2
         return n
 
+    def _multi_step(self, chunk: int):
+        """Device-side while_loop of up to `chunk` steps between host syncs
+        (adaptation events): the tables ride as ARGUMENTS so one compiled
+        program serves every topology of the run — no retrace per event."""
+        if chunk not in self._multi_cache:
+            step = self._make_step()
+
+            def multi(pools, tables, t, t_end):
+                zero = jnp.zeros((), t.dtype)
+
+                def body(carry):
+                    pools, t, comp, it, _bad = carry
+                    p2, dt, bad = step(list(pools), tables, t, t_end)
+                    y = dt - comp
+                    t2 = t + y
+                    comp = (t2 - t) - y
+                    return tuple(p2), t2, comp, it + 1, bad
+
+                def cond(carry):
+                    _p, t, _c, it, bad = carry
+                    return (t < t_end - 1e-12) & (it < chunk) & ~bad
+
+                pools, t, _c, it, bad = jax.lax.while_loop(
+                    cond, body, (tuple(pools), t, zero, jnp.asarray(0),
+                                 jnp.asarray(False)))
+                return pools, t, it, bad
+
+            self._multi_cache[chunk] = jax.jit(multi)
+        return self._multi_cache[chunk]
+
     def run(self, pools, t_end: float, t0: float = 0.0,
-            callback: Callable | None = None, max_steps: int = 10**7):
-        """Time loop with the adaptation cadence (src/claw.cc:1112-1128)."""
+            callback: Callable | None = None, max_steps: int = 10**7,
+            chunked: bool = True):
+        """Time loop with the adaptation cadence (src/claw.cc:1112-1128).
+
+        chunked=True runs the steps BETWEEN adaptation events inside one
+        device-side while_loop (one host sync per event instead of per
+        step); callbacks then fire at event granularity."""
         t, it = t0, 0
         pools = self.post_stage(pools, self._tables, t0)
+        cadence = self.amr.iter_step
+        if chunked and cadence:
+            multi = self._multi_step(cadence)
+            tdev = jnp.asarray(t, self.dtype)
+            while t < t_end - 1e-12 and it < max_steps:
+                pools, tdev, n, bad = multi(pools, self._tables, tdev,
+                                            jnp.asarray(t_end, self.dtype))
+                pools = list(pools)
+                if bool(bad):
+                    raise FloatingPointError(
+                        "negative density/pressure cell average "
+                        "(src/positivity.cc:26-39)")
+                t = float(tdev)
+                it += int(n)
+                if it % cadence == 0:
+                    pools, _ = self.adapt(pools)
+                if callback is not None:
+                    callback(pools, t, it)
+            return pools, t, it
         while t < t_end - 1e-12 and it < max_steps:
             pools, dt, bad = self._step(pools, self._tables, t, t_end)
             if bool(bad):
@@ -959,7 +1069,7 @@ class AMRSolver:
                     "(src/positivity.cc:26-39)")
             t += float(dt)
             it += 1
-            if self.amr.iter_step and it % self.amr.iter_step == 0:
+            if cadence and it % cadence == 0:
                 pools, _ = self.adapt(pools)
             if callback is not None:
                 callback(pools, t, it)

@@ -186,11 +186,20 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
             # collocation + the well-balanced source
             basis = make_basis("Qk_gll", params.degree)
             well_balanced = params.well_balanced
+        method_u = "implicit" if params.solver.implicit else "rk"
+        if device_mesh is not None:
+            # flat-cell decomposition: 1-D ('cells',) mesh over the same
+            # devices (the 2-D grid mesh is a structured-path concept)
+            from jax.sharding import Mesh as _Mesh
+            device_mesh = _Mesh(device_mesh.devices.reshape(-1), ("cells",))
         solver = UnstructuredSolver(
             basis, mesh, bc_table, flux=params.flux.flux, limiter=lim,
             source=_build_source(params, unstructured=True), cfl=params.cfl,
             fixed_time_step=fixed_dt, well_balanced=well_balanced,
-            potential=params.potential)
+            potential=params.potential, method=method_u, theta=params.theta,
+            max_nonlin_iter=params.max_nonlin_iter,
+            linear_residual=params.solver.linear_residual,
+            time_step_type=params.time_step_type, device_mesh=device_mesh)
         return solver, None
 
     bcs = build_bcs(params, side_bids)
@@ -224,7 +233,11 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
         if not isinstance(mesh, CartesianMesh):
             raise ValueError("`refinement = true` needs a Cartesian(-raster) "
                              "mesh; curvilinear AMR is not supported")
-        for T in (4, 2, 1):
+        # prefer T=2: at T=4 a tile refines up to 16x more cells than exact
+        # per-cell flags would (src/refine.cc:48-60); T=2 caps the waste at
+        # 4x for the same pool capacity (the accounting is printed per
+        # adaptation event)
+        for T in (2, 4, 1):
             if mesh.nx % T == 0 and mesh.ny % T == 0:
                 if mask is None:
                     break
@@ -287,8 +300,16 @@ def _main_amr(args, params, solver, timer, t_wall):
 
     def callback(pools, t, it):
         if it % 50 == 0 or t >= t_end - 1e-12:
-            print(f"  it={it:6d}  t={t:.6f}  "
-                  f"cells={solver.n_active_cells()}")
+            line = (f"  it={it:6d}  t={t:.6f}  "
+                    f"cells={solver.n_active_cells()}")
+            st = solver.last_adapt_stats
+            if st is not None:
+                # tile-granularity overhead vs exact per-cell flags
+                # (src/refine.cc:48-60 baseline)
+                line += (f"  [tile T={solver.T}: active="
+                         f"{st.get('cells_active_after', st['cells_active'])}"
+                         f" vs per-cell={st['cells_percell_scheme']}]")
+            print(line)
         if out_iter and it % out_iter == 0:
             write_snapshot(pools, t)
 
@@ -418,9 +439,6 @@ def main(argv=None):
                 write_vtu(path, basis, mesh, np.asarray(u), t=t,
                           schlieren=params.output.schlieren_plot, mask=mask,
                           extra_cell_fields=extra)
-        if unstructured:
-            snap[0] += 1
-            return
         if args.checkpoint_every and snap[0] % args.checkpoint_every == 0:
             save_checkpoint(os.path.join(args.output_dir,
                                          f"checkpoint-{snap[0]:03d}.npz"),
@@ -471,9 +489,6 @@ def main(argv=None):
                 min_residual=params.min_residual or 1e-10,
                 max_steps=min(100000, args.max_steps), verbose=True)
             t, it = t0, len(hist)
-        elif unstructured:
-            u, t, it = solver.run(u, t_end, t0=t0, callback=callback,
-                                  max_steps=args.max_steps)
         else:
             u, t, it = solver.run(u, t_end, t0=t0, callback=callback,
                                   chunk=max(args.chunk, 1),

@@ -285,3 +285,124 @@ def test_amr_pools_1_vs_8_devices():
     for lv in range(s1.max_level + 1):
         d = float(jnp.abs(p1[lv] - p8[lv]).max())
         assert d < 1e-11, (lv, d)
+
+
+def test_amr_periodic_vortex_conserves():
+    """`refinement = true` + periodic BCs (VERDICT r2 item 7): the
+    isentropic vortex on a fully periodic box with live adaptation
+    conserves mass/momentum/energy to 1e-12 and stays accurate.  The
+    periodic tile neighbor tables mirror the reference's recursing periodic
+    cell map (src_mpi/DealiiExtensions.h:40-119)."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(32, 32, -5.0, 5.0, -5.0, 5.0)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=per, N=per)
+    lim = LimiterConfig(type="none", pos_lim=False)
+    amr = AMRConfig(shock_value=0.04, shock_levels=1, iter_step=4, tile=4,
+                    max_elements=50000)
+    s = AMRSolver(basis, mesh, bcs, flux="hllc", amr=amr, limiter=lim,
+                  cfl=0.45)
+    vort = ic.isentropic_vortex()
+    pools = s.set_ic(vort)
+    assert int(s.topo.Lmap.max()) == 1            # vortex core refined
+    tot0 = np.array(s.totals(pools))
+    pools, t, it = s.run(pools, 0.3)
+    tot1 = np.array(s.totals(pools))
+    assert np.abs(tot1 - tot0).max() < 1e-12 * max(1.0, np.abs(tot0).max())
+    # wrap tiles: refine a seam-adjacent region by construction? the core
+    # sits mid-domain; instead check the periodic tables exist and are used
+    assert s.per_x and s.per_y
+    # composite density stays near the exact advected vortex
+    avg0 = np.zeros((4, 32, 32))
+    for lv in range(s.max_level + 1):
+        ub = np.array(s.averages(pools[lv]))
+        T = s.T
+        for i, (ty, tx) in enumerate(s.topo.slots[lv]):
+            if s.topo.Lmap[ty, tx] != lv:
+                continue
+            blk = ub[:, i].reshape(4, T, 2**lv, T, 2**lv).mean(axis=(2, 4))
+            avg0[:, ty * T:(ty + 1) * T, tx * T:(tx + 1) * T] = blk
+    assert np.isfinite(avg0).all()
+    # the vortex is STATIONARY (src/ic.cc:44-61 has no advection): the
+    # exact solution equals the IC, so the composite averages must stay
+    # near the exact cell averages (16-point subsampled); pointwise center
+    # density is (1 - a2*e)^2.5 ~ 0.348, so a fixed floor would be wrong
+    xe = np.linspace(-5.0, 5.0, 32 * 4 + 1)
+    xm = 0.5 * (xe[:-1] + xe[1:])
+    X, Y = np.meshgrid(xm, xm)
+    rho_ex = np.asarray(ic.isentropic_vortex()(X, Y)[euler.RHO])
+    rho_ex = rho_ex.reshape(32, 4, 32, 4).mean(axis=(1, 3))
+    # ~0.022 observed: Q1 nodal interpolation + scheme error at the tightly
+    # curved vortex core (dx = 0.3125); conservation above is the 1e-12 check
+    assert np.abs(avg0[euler.RHO] - rho_ex).max() < 0.03
+
+
+def test_amr_periodic_seam_refinement_consistency():
+    """A vortex centered ON the periodic seam refines tiles on BOTH sides
+    of the wrap (the 2:1 balance and neighbor tables cross the seam)."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(32, 32, -5.0, 5.0, -5.0, 5.0)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=per, N=per)
+    lim = LimiterConfig(type="none", pos_lim=False)
+    amr = AMRConfig(shock_value=0.04, shock_levels=1, iter_step=4, tile=4,
+                    max_elements=50000)
+    s = AMRSolver(basis, mesh, bcs, flux="hllc", amr=amr, limiter=lim,
+                  cfl=0.45)
+
+    def seam_bump(x, y, t=0.0):
+        """Periodic density bump centered ON the W/E seam (x = +-5): the
+        wrap-aware distance makes the IC genuinely periodic."""
+        dx = jnp.mod(x + 5.0 + 5.0, 10.0) - 5.0     # distance to the seam
+        rho = 1.0 + 0.8 * jnp.exp(-2.0 * (dx**2 + y**2))
+        p = rho ** euler.GAMMA
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, p / (euler.GAMMA - 1.0)])
+
+    pools = s.set_ic(seam_bump)
+    L = s.topo.Lmap
+    assert L[:, 0].max() == 1 and L[:, -1].max() == 1   # both seam sides
+    tot0 = np.array(s.totals(pools))
+    pools, t, it = s.run(pools, 0.15)
+    tot1 = np.array(s.totals(pools))
+    assert np.abs(tot1 - tot0).max() < 1e-12 * max(1.0, np.abs(tot0).max())
+
+
+def test_amr_chunked_run_matches_per_step():
+    """run(chunked=True) (device-side while_loop between adaptation events)
+    is bit-identical to the per-step host loop, including the adaptation
+    sequence and tile-accounting stats."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(32, 8, 0.0, 1.0, 0.0, 0.25)
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.zeros_like(x), jnp.zeros_like(x), jnp.ones_like(x),
+         jnp.full_like(x, 2.5)])
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+    lim = LimiterConfig(type="TVB", beta=2.0, char_lim=True, pos_lim=True)
+
+    def sod(x, y, t=0.0):
+        rho = jnp.where(x <= 0.5, 1.0, 0.125)
+        E = jnp.where(x <= 0.5, 2.5, 0.25)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, E])
+
+    def one(chunked):
+        amr = AMRConfig(shock_value=0.25, shock_levels=1, iter_step=4,
+                        tile=4, max_elements=20000)
+        s = AMRSolver(basis, mesh, bcs, flux="hllc", amr=amr, limiter=lim,
+                      cfl=0.45)
+        pools = s.set_ic(sod)
+        pools, t, it = s.run(pools, 0.05, chunked=chunked)
+        return s, pools, t, it
+
+    s1, p1, t1, it1 = one(False)
+    s2, p2, t2, it2 = one(True)
+    assert it1 == it2
+    assert (s1.topo.Lmap == s2.topo.Lmap).all()
+    assert abs(t1 - t2) < 5e-15
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.array(b), np.array(a),
+                                   rtol=0, atol=2e-14)
