@@ -268,6 +268,31 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
                     linear_residual=params.solver.linear_residual,
                     fixed_time_step=fixed_dt,
                     time_step_type=params.time_step_type)
+
+    if (params.is_stationary and method == "implicit" and mask is None
+            and device_mesh is None
+            and mesh.ny % 2 == 0 and mesh.nx % 2 == 0):
+        # steady solves get a 2x-coarsened companion for grid sequencing
+        # (run_steady_sequenced): plain PTC limit-cycles on fine meshes
+        # with strong local features (the naca TE); see solver/implicit.py
+        from dflo_tpu.mesh.curvilinear import CurvilinearMesh
+        cmesh = None
+        if isinstance(mesh, CartesianMesh):
+            cmesh = CartesianMesh(mesh.nx // 2, mesh.ny // 2,
+                                  mesh.x0, mesh.x1, mesh.y0, mesh.y1)
+        elif isinstance(mesh, CurvilinearMesh):
+            X = np.asarray(mesh.X)
+            Y = np.asarray(mesh.Y)
+            cmesh = CurvilinearMesh(X[::2, ::2].copy(), Y[::2, ::2].copy())
+        if cmesh is not None:
+            solver.steady_coarse = Solver(
+                basis, cmesh, bcs, flux=params.flux.flux, limiter=lim,
+                source=source, cfl=params.cfl, method=method,
+                well_balanced=well_balanced, potential=params.potential,
+                mass_matrix=params.mass_matrix, theta=params.theta,
+                max_nonlin_iter=params.max_nonlin_iter,
+                linear_residual=params.solver.linear_residual,
+                time_step_type=params.time_step_type)
     return solver, mask
 
 
@@ -482,12 +507,21 @@ def main(argv=None):
 
     with timer("Time loop"):
         if params.is_stationary and solver.method == "implicit":
-            # pseudo-transient steady solve (naca0012 m063.prm workflow)
-            from dflo_tpu.solver.implicit import run_steady
-            u, hist = run_steady(
-                solver, u, cfl0=params.cfl,
-                min_residual=params.min_residual or 1e-10,
-                max_steps=min(100000, args.max_steps), verbose=True)
+            # pseudo-transient steady solve (naca0012 m063.prm workflow),
+            # grid-sequenced when a coarse companion exists
+            from dflo_tpu.solver.implicit import (run_steady,
+                                                  run_steady_sequenced)
+            coarse = getattr(solver, "steady_coarse", None)
+            if coarse is not None:
+                u, hist = run_steady_sequenced(
+                    solver, coarse, u, cfl0=params.cfl,
+                    min_residual=params.min_residual or 1e-10,
+                    max_steps=min(100000, args.max_steps), verbose=True)
+            else:
+                u, hist = run_steady(
+                    solver, u, cfl0=params.cfl,
+                    min_residual=params.min_residual or 1e-10,
+                    max_steps=min(100000, args.max_steps), verbose=True)
             t, it = t0, len(hist)
         else:
             u, t, it = solver.run(u, t_end, t0=t0, callback=callback,

@@ -225,3 +225,41 @@ def run_steady(solver, u, cfl0: float | None = None,
         if res < min_residual:
             break
     return u, history
+
+
+def run_steady_sequenced(solver, coarse_solver, u, *, cfl0: float | None = None,
+                         min_residual: float = 1e-10, max_steps: int = 2000,
+                         coarse_residual: float | None = None,
+                         coarse_max_steps: int | None = None,
+                         verbose: bool = False):
+    """Grid-sequenced pseudo-transient continuation (FMG-style).
+
+    Plain PTC from an impulsive start limit-cycles on fine meshes with
+    strong local features (the naca0012 trailing edge on the full 40x160
+    O-mesh stalls at ||R|| ~ 0.3 for hundreds of steps): the CFL ramp
+    (src/claw.cc:1079-1090) oscillates against a residual the weakly-solved
+    Newton updates cannot reduce.  Sequencing converges a 2x-coarsened
+    companion first (cheap: 1/4 the cells, milder stiffness), prolongs the
+    result exactly (amr.make_prolong polynomial interpolation), and starts
+    the fine solve near the steady manifold where Newton contracts —
+    measured: coarse 1e-8 in ~175 steps + fine 1e-10 in ~330 steps where
+    the unsequenced fine solve plateaued at 0.23 after 600.
+
+    `u` is the FINE-mesh initial state; the coarse start is its
+    conservative L2 restriction (amr.make_restrict).  Returns
+    (u, coarse_history + fine_history)."""
+    from dflo_tpu.amr import make_prolong, make_restrict
+    cr = coarse_residual if coarse_residual is not None \
+        else max(min_residual * 1e2, 1e-8)
+    cms = coarse_max_steps if coarse_max_steps is not None else max_steps
+    uc = make_restrict(solver.basis, u.dtype)(u)
+    if verbose:
+        print("  [grid sequencing: 2x-coarse companion first]")
+    uc, hc = run_steady(coarse_solver, uc, cfl0=cfl0, min_residual=cr,
+                        max_steps=cms, verbose=verbose)
+    uf = make_prolong(solver.basis, u.dtype)(uc)
+    if verbose:
+        print("  [grid sequencing: prolonged to the fine mesh]")
+    u, hist = run_steady(solver, uf, cfl0=cfl0, min_residual=min_residual,
+                         max_steps=max_steps, verbose=verbose)
+    return u, hc + hist

@@ -10,7 +10,7 @@ from dflo_tpu.driver import Solver
 from dflo_tpu.mesh.curvilinear import CurvilinearMesh, load_struct
 from dflo_tpu.ops.basis import make_basis
 from dflo_tpu.physics import euler
-from dflo_tpu.solver.implicit import run_steady
+from dflo_tpu.solver.implicit import run_steady, run_steady_sequenced
 from dflo_tpu.solver.spatial import BoundarySide
 
 STRUCT = "/root/reference/examples/naca0012/naca.struct"
@@ -86,31 +86,72 @@ def test_naca_steady_residual_drops():
     assert ub[euler.RHO].min() > 0 and pre.min() > 0
 
 
-@pytest.mark.slow
-def test_naca_steady_converges_to_1e8():
-    """BASELINE.md naca0012 row: pseudo-transient backward Euler with CFL
-    ramping (src/claw.cc:1079-1090) drives the SPATIAL residual below 1e-8
-    — full deep convergence, not just an initial drop.  Runs the m063
-    freestream on a 2x-coarsened naca.struct O-mesh with the per-cell
-    block-Jacobi-preconditioned matrix-free GMRES (the stand-in for the
-    reference's BlockSSOR, src/claw.cc:666-691); ~190 steps, a few CPU
-    minutes."""
-    full = load_struct(STRUCT)
-    X, Y = np.asarray(full.X), np.asarray(full.Y)
-    mesh = CurvilinearMesh(X[::2, ::2].copy(), Y[::2, ::2].copy())
+def _full_mesh_solvers(degree):
+    mesh = load_struct(STRUCT)
+    X, Y = np.asarray(mesh.X), np.asarray(mesh.Y)
+    coarse = CurvilinearMesh(X[::2, ::2].copy(), Y[::2, ::2].copy())
     bcs = dict(W=BoundarySide(euler.BC_PERIODIC),
                E=BoundarySide(euler.BC_PERIODIC),
                S=BoundarySide(euler.BC_SLIP),
                N=BoundarySide(euler.BC_FARFIELD, freestream))
-    s = Solver(make_basis("Qk", 1), mesh, bcs, flux="roe", cfl=2.0,
-               method="implicit", max_nonlin_iter=1, linear_residual=1e-3,
-               gmres_restart=30, gmres_maxiter=4,
-               precondition="block_jacobi")
+    mk = lambda m: Solver(  # noqa: E731
+        make_basis("Qk", degree), m, bcs, flux="roe", cfl=2.0,
+        method="implicit", max_nonlin_iter=1, linear_residual=1e-4,
+        gmres_restart=30, gmres_maxiter=8, precondition="block_jacobi")
+    return mk(mesh), mk(coarse), mesh
+
+
+@pytest.mark.slow
+def test_naca_steady_converges_to_1e10_full_mesh():
+    """BASELINE.md naca0012 row at REFERENCE fidelity (VERDICT r2 item 5):
+    pseudo-transient backward Euler with CFL ramping (src/claw.cc:1079-1090)
+    drives the SPATIAL residual below the m063 workflow's own stopping
+    tolerance 1e-10 (examples/naca0012/m063.prm:49) on the UNCOARSENED
+    40x160 naca.struct O-mesh, Q1, with the per-cell
+    block-Jacobi-preconditioned matrix-free GMRES (the stand-in for the
+    reference's BlockSSOR, src/claw.cc:666-691).
+
+    Uses grid sequencing (run_steady_sequenced): plain PTC from the
+    impulsive start limit-cycles at ||R|| ~ 0.3 on this mesh (measured:
+    0.23 after 600 steps); the sequenced solve reaches 1e-10 in
+    ~175 coarse + ~330 fine steps (~65 CPU minutes)."""
+    s, sc, mesh = _full_mesh_solvers(1)
     u = ic.set_initial_condition(s.basis, mesh, freestream)
-    u, hist = run_steady(s, u, cfl0=2.0, min_residual=1e-8, max_steps=280)
-    assert hist[-1] < 1e-8, (len(hist), hist[-1])
+    u, hist = run_steady_sequenced(s, sc, u, cfl0=2.0, min_residual=1e-10,
+                                   max_steps=500)
+    assert hist[-1] < 1e-10, (len(hist), hist[-1])
     # the converged flow carries a stagnation point and positive state
     ub = np.array(s.cell_averages(u))
     pre = np.array(euler.pressure(jnp.asarray(ub)))
     assert pre[0].max() > P0 * 1.15
     assert ub[euler.RHO].min() > 0 and pre.min() > 0
+
+
+@pytest.mark.slow
+def test_naca_q2_steady_residual_drops_deep():
+    """Q2 on the full O-mesh (the m063 workflow's higher-order pass): the
+    grid-sequenced pseudo-transient ramp drops the spatial residual by
+    >1000x from the impulsive start — the Q2 counterpart runs the
+    identical machinery, so the deep-convergence guarantee is carried by
+    the Q1 test above."""
+    s, sc, mesh = _full_mesh_solvers(2)
+    u = ic.set_initial_condition(s.basis, mesh, freestream)
+    u, hist = run_steady_sequenced(s, sc, u, cfl0=2.0, min_residual=1e-10,
+                                   max_steps=150, coarse_max_steps=150)
+    assert hist[-1] < 1e-3 * hist[0], (hist[0], hist[-1])
+    ub = np.array(s.cell_averages(u))
+    pre = np.array(euler.pressure(jnp.asarray(ub)))
+    assert pre[0].max() > P0 * 1.15
+    assert ub[euler.RHO].min() > 0 and pre.min() > 0
+
+
+def test_naca_cli_sequenced_smoke(tmp_path):
+    """examples/naca0012.prm drives the grid-sequenced steady path through
+    the CLI (coarse companion auto-built for stationary implicit runs on
+    even-dimension meshes); a few steps of each phase must run and write
+    output."""
+    from dflo_tpu.cli import main
+    rc = main(["/root/repo/examples/naca0012.prm", "--max-steps", "4",
+               "--output-dir", str(tmp_path)])
+    assert rc in (0, None)
+    assert any(p.name.startswith("solution") for p in tmp_path.iterdir())
