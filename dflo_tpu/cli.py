@@ -371,6 +371,10 @@ def main(argv=None):
                     help="shard the domain over N devices (domain "
                          "decomposition, the mpirun -np N analog; "
                          "0 = single device)")
+    ap.add_argument("--slices", type=int, default=0,
+                    help="with --devices: arrange them as S DCN-connected "
+                         "slices x (devices/S) per slice — the slice axis "
+                         "carries only the adjacent-band halo row")
     args = ap.parse_args(argv)
 
     import jax
@@ -386,9 +390,13 @@ def main(argv=None):
     prm_dir = os.path.dirname(os.path.abspath(args.prm))
     dm = None
     if args.devices:
-        from dflo_tpu.parallel.sharding import device_mesh
-        dm = device_mesh(devices=jax.devices()[:args.devices])
-        print(f"domain decomposition: {dm.devices.shape} device mesh")
+        from dflo_tpu.parallel.sharding import (device_mesh,
+                                                device_mesh_multislice)
+        devs = jax.devices()[:args.devices]
+        dm = (device_mesh_multislice(args.slices, devices=devs)
+              if args.slices else device_mesh(devices=devs))
+        print(f"domain decomposition: {dm.devices.shape} device mesh "
+              f"{dm.axis_names}")
     with timer("Setup"):
         solver, mask = build_solver(params, prm_dir, device_mesh=dm)
     basis, mesh = solver.basis, solver.mesh

@@ -88,7 +88,8 @@ class Solver:
             # per-device block dims must be (sublane, lane)-tile aligned;
             # single-chip is the (1, 1) device mesh of this rule
             if device_mesh is not None:
-                DY_, DX_ = device_mesh.devices.shape
+                from dflo_tpu.parallel.sharding import mesh_grid_shape
+                DY_, DX_ = mesh_grid_shape(device_mesh)
                 tiles_ok = (mesh.ny % DY_ == 0 and mesh.nx % DX_ == 0
                             and (mesh.ny // DY_) % 8 == 0
                             and (mesh.nx // DX_) % 128 == 0

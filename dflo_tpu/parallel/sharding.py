@@ -48,10 +48,63 @@ def device_mesh(shape: tuple[int, int] | None = None,
     return Mesh(arr, ("dy", "dx"))
 
 
+def device_mesh_multislice(n_slices: int, shape: tuple[int, int] | None = None,
+                           devices=None) -> Mesh:
+    """Build a 3-D ('slice', 'dy', 'dx') device mesh for multi-slice
+    (DCN-connected) TPU pods.
+
+    The reference scales out with one flat MPI communicator (p4est assigns
+    ranks irrespective of network topology, src_mpi/claw.cc:59-76); on TPU
+    the slice boundary is 1-2 orders of magnitude slower than ICI, so the
+    slice axis must be OUTERMOST and carry the least traffic.  Splitting the
+    domain's y axis over ('slice', 'dy') does exactly that: each slice owns
+    a contiguous band of cell rows, and the only cross-slice communication
+    is the one face-trace halo row between adjacent bands (plus scalar
+    reductions) — O(nx) bytes per step over DCN while all other halos ride
+    ICI.
+
+    ``jax.devices()`` orders devices slice-major under multi-slice
+    deployments, so the plain reshape below places consecutive-slice
+    devices on the same 'slice' coordinate.  Untestable on real DCN here
+    (single-chip environment); validated on the virtual CPU mesh
+    (tests/test_parallel.py) where the collective pattern — not the wire —
+    is what's checked."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n % n_slices:
+        raise ValueError(f"{n} devices not divisible into {n_slices} slices")
+    per = n // n_slices
+    if shape is None:
+        a = int(np.sqrt(per))
+        while per % a:
+            a -= 1
+        shape = (a, per // a)
+    if shape[0] * shape[1] != per:
+        raise ValueError(f"per-slice shape {shape} != {per} devices/slice")
+    arr = np.asarray(devices).reshape((n_slices,) + tuple(shape))
+    return Mesh(arr, ("slice", "dy", "dx"))
+
+
+def mesh_grid_shape(mesh: Mesh) -> tuple[int, int]:
+    """Effective (DY, DX) cell-grid decomposition of a 2-D or 3-D device
+    mesh: all leading axes fold into the y split, the last axis is x."""
+    shape = mesh.devices.shape
+    return int(np.prod(shape[:-1])), int(shape[-1])
+
+
+def mesh_y_axes(mesh: Mesh) -> tuple[str, ...]:
+    """The mesh axis names the domain's y (cell-row) axis is split over —
+    ('dy',) for a 2-D mesh, ('slice', 'dy') for a multi-slice mesh."""
+    return tuple(mesh.axis_names[:-1])
+
+
 def cell_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding of u[4, K, ny, nx]: cells split over the device mesh,
-    components/DoFs replicated (the owner-computes layout of §5.8)."""
-    return NamedSharding(mesh, P(None, None, "dy", "dx"))
+    components/DoFs replicated (the owner-computes layout of §5.8).
+    On a 3-D ('slice', 'dy', 'dx') mesh the row axis folds ('slice', 'dy')
+    together, keeping cross-slice traffic to one halo row."""
+    return NamedSharding(
+        mesh, P(None, None, mesh_y_axes(mesh), mesh.axis_names[-1]))
 
 
 def shard_state(u, mesh: Mesh):

@@ -279,7 +279,14 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         fused_res = make_fused_residual(basis, mesh, flux, False, False,
                                         dtype, mask=None)
         avg_vec = cast(basis.wq2 @ basis.V)
-        DY, DX = device_mesh.devices.shape
+        from dflo_tpu.parallel.sharding import mesh_grid_shape, mesh_y_axes
+        # y may be split over several mesh axes — ('slice', 'dy') on a
+        # multi-slice pod: the collectives below address the folded axis by
+        # the tuple name, so the adjacent-band ppermute between slices is
+        # the ONLY cross-DCN transfer (one face-trace row per stage)
+        YAX = mesh_y_axes(device_mesh)
+        XAX = device_mesh.axis_names[-1]
+        DY, DX = mesh_grid_shape(device_mesh)
         ly, lx = mesh.ny // DY, mesh.nx // DX
         if mesh.ny % DY or mesh.nx % DX:
             raise ValueError(f"mesh {mesh.ny}x{mesh.nx} not divisible by "
@@ -313,8 +320,8 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
             """Per-device delta-flux strips: true edge flux minus the
             block-wrap flux the kernel will use, neighbor traces via
             ppermute."""
-            iy = jax.lax.axis_index("dy")
-            ix = jax.lax.axis_index("dx")
+            iy = jax.lax.axis_index(YAX)
+            ix = jax.lax.axis_index(XAX)
             # ---- x edges -------------------------------------------------
             c0, cl = u_loc[:, :, :, 0], u_loc[:, :, :, -1]
             uW0 = jnp.einsum("qk,cky->cqy", faceV[WEST], c0,
@@ -329,10 +336,10 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
             east = [(i, (i + 1) % DX) for i in range(DX)]
             west = [(i, (i - 1) % DX) for i in range(DX)]
             # my west neighbor's east-face trace / avg, and vice versa
-            uEl_W = jax.lax.ppermute(uEl, "dx", east)
-            ubl_W = jax.lax.ppermute(ubl, "dx", east)
-            uW0_E = jax.lax.ppermute(uW0, "dx", west)
-            ub0_E = jax.lax.ppermute(ub0, "dx", west)
+            uEl_W = jax.lax.ppermute(uEl, XAX, east)
+            ubl_W = jax.lax.ppermute(ubl, XAX, east)
+            uW0_E = jax.lax.ppermute(uW0, XAX, west)
+            ub0_E = jax.lax.ppermute(ub0, XAX, west)
             FsW = num_flux(uEl_W, uW0, 1.0, 0.0,
                            AL=jnp.broadcast_to(ubl_W[:, None], uW0.shape),
                            AR=A0)
@@ -361,10 +368,10 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
             Fwrap_y = num_flux(uNl, uS0, 0.0, 1.0, AL=Bl, AR=B0)
             north = [(i, (i + 1) % DY) for i in range(DY)]
             south = [(i, (i - 1) % DY) for i in range(DY)]
-            uNl_S = jax.lax.ppermute(uNl, "dy", north)
-            vbl_S = jax.lax.ppermute(vbl, "dy", north)
-            uS0_N = jax.lax.ppermute(uS0, "dy", south)
-            vb0_N = jax.lax.ppermute(vb0, "dy", south)
+            uNl_S = jax.lax.ppermute(uNl, YAX, north)
+            vbl_S = jax.lax.ppermute(vbl, YAX, north)
+            uS0_N = jax.lax.ppermute(uS0, YAX, south)
+            vb0_N = jax.lax.ppermute(vb0, YAX, south)
             FsS = num_flux(uNl_S, uS0, 0.0, 1.0,
                            AL=jnp.broadcast_to(vbl_S[:, None], uS0.shape),
                            AR=B0)
@@ -382,7 +389,7 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
             dfn = FtN - Fwrap_y
             return dfw, dfe, dfs, dfn
 
-        spec_u = P(None, None, "dy", "dx")
+        spec_u = P(None, None, YAX, XAX)
 
         def _local_rhs(u_loc, t):
             return fused_res(u_loc, *_local_strips(u_loc, t))

@@ -262,3 +262,101 @@ def test_fused_sharded_solver_end_to_end():
         t = t + dt1
     np.testing.assert_allclose(np.array(uss), np.array(us),
                                rtol=1e-10, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (DCN) meshes: the ('slice', 'dy', 'dx') 3-D device mesh folds
+# the slice axis into the y decomposition, so the only cross-slice traffic
+# is the adjacent-band halo row (parallel/sharding.py).  Real DCN wiring is
+# untestable here; these validate the collective pattern on the virtual
+# mesh: the 3-axis program must equal single-device results exactly.
+# ---------------------------------------------------------------------------
+
+
+def test_multislice_mesh_layout():
+    from dflo_tpu.parallel import (device_mesh_multislice, mesh_grid_shape,
+                                   mesh_y_axes)
+    dm = device_mesh_multislice(2)
+    assert dm.axis_names == ("slice", "dy", "dx")
+    assert dm.devices.shape == (2, 2, 2)
+    assert mesh_grid_shape(dm) == (4, 2)
+    assert mesh_y_axes(dm) == ("slice", "dy")
+    with pytest.raises(ValueError):
+        device_mesh_multislice(3)
+    dm2 = device_mesh_multislice(4, shape=(1, 2))
+    assert dm2.devices.shape == (4, 1, 2)
+    assert mesh_grid_shape(dm2) == (4, 2)
+
+
+def test_vortex_1_vs_multislice_gspmd():
+    """GSPMD (XLA) path on a 2-slice x 2x2 mesh == single device."""
+    from dflo_tpu.parallel import device_mesh_multislice
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(32, 32, -5.0, 5.0, -5.0, 5.0)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=per, N=per)
+    u0 = ic.set_initial_condition(basis, mesh, ic.isentropic_vortex())
+
+    s1 = Solver(basis, mesh, bcs, flux="roe", cfl=0.5)
+    u1, t1, _ = s1.run(u0, 0.1)
+
+    dm = device_mesh_multislice(2)
+    sN = Solver(basis, mesh, bcs, flux="roe", cfl=0.5, device_mesh=dm)
+    uN, tN, _ = sN.run(shard_state(u0, dm), 0.1)
+    assert len(uN.sharding.device_set) == 8
+    np.testing.assert_allclose(np.array(uN), np.array(u1),
+                               rtol=1e-12, atol=1e-12)
+    assert t1 == tN
+
+
+def test_fused_rhs_multislice_matches_xla():
+    """shard_map'd fused residual over ('slice','dy','dx'): the y halo
+    ppermute addresses the FOLDED ('slice','dy') axis — one face-trace row
+    between adjacent bands is the only cross-slice transfer."""
+    from dflo_tpu.parallel import device_mesh_multislice
+    from dflo_tpu.solver.spatial import make_rhs
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(32, 16, -5.0, 5.0, -5.0, 5.0)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=per, N=per)
+    u0 = ic.set_initial_condition(basis, mesh, ic.isentropic_vortex())
+
+    rhs_x = make_rhs(basis, mesh, bcs, flux="hllc")
+    dm = device_mesh_multislice(2, shape=(2, 2))      # (DY, DX) = (4, 2)
+    rhs_s = make_rhs(basis, mesh, bcs, flux="hllc", volume_kernel="fused",
+                     device_mesh=dm)
+    r_ref = np.array(rhs_x(u0, 0.0))
+    r_shd = np.array(rhs_s(shard_state(u0, dm), 0.0))
+    np.testing.assert_allclose(r_shd, r_ref, rtol=1e-11, atol=1e-11)
+
+
+def test_fused_solver_multislice_end_to_end():
+    """Fused Solver over the 3-axis mesh: identical dt sequence and
+    roundoff-level state agreement with the single-device fused solver on
+    a short Sod horizon (strict window, before thresholds can flip)."""
+    from dflo_tpu.parallel import device_mesh_multislice
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(128, 16, 0.0, 1.0, 0.0, 0.125)
+    bcs = dict(W=BoundarySide(euler.BC_OUTFLOW),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP), N=BoundarySide(euler.BC_SLIP))
+    lim = LimiterConfig(type="TVB", shock_indicator="density", beta=2.0,
+                        char_lim=True, pos_lim=True)
+    u0 = ic.set_initial_condition(basis, mesh, sod_ic)
+
+    s1 = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5,
+                volume_kernel="fused")
+    dm = device_mesh_multislice(2, shape=(2, 2))
+    sN = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5,
+                device_mesh=dm, volume_kernel="fused")
+    us, uss = u0, shard_state(u0, dm)
+    t = jnp.zeros(())
+    for _ in range(5):
+        us, dt1, _, _ = s1._step(us, t, jnp.asarray(1.0))
+        uss, dtN, _, _ = sN._step(uss, t, jnp.asarray(1.0))
+        assert float(dt1) == float(dtN)
+        t = t + dt1
+    assert len(uss.sharding.device_set) == 8
+    np.testing.assert_allclose(np.array(uss), np.array(us),
+                               rtol=1e-10, atol=1e-10)
