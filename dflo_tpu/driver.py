@@ -146,6 +146,10 @@ class Solver:
                                 volume_kernel=volume_kernel,
                                 device_mesh=device_mesh)
         self.avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
+        _avg_np = basis.wq2 @ basis.V
+        self._mode0_mean = (basis.family == "Pk"
+                            and float(abs(_avg_np[1:]).max()) < 1e-13)
+        self._avg0 = float(_avg_np[0])
 
         cfg = self.limiter_cfg
         self._indicator = (make_shock_indicator(
@@ -218,9 +222,20 @@ class Solver:
         self.method = method
         if method == "mood":
             from dflo_tpu.stab.mood import make_mood
+            # fused {truncation -> positivity} kernel on the TPU hot path
+            # (element-local, any shape; CPU interpret mode would crawl)
+            ftp = None
+            if (volume_kernel == "fused" and self._positivity is not None
+                    and basis.family == "Pk"):
+                from dflo_tpu.ops.pallas_kernels import make_fused_modal_pos
+                ftp = make_fused_modal_pos(basis, dtype, with_trunc=True)
+                self._fused_modal_pos = make_fused_modal_pos(
+                    basis, dtype, with_trunc=False)
+            self._fused_modal_pos = getattr(self, "_fused_modal_pos", None)
             self._mood_stage = make_mood(basis, mesh, self.rhs, per_x, per_y,
                                          mask=mask, dtype=dtype,
-                                         positivity=self._positivity)
+                                         positivity=self._positivity,
+                                         fused_trunc_pos=ftp)
         elif method == "implicit":
             from dflo_tpu.solver.implicit import make_implicit_step
             # the stabilization chain runs after EVERY Newton update, where
@@ -241,6 +256,10 @@ class Solver:
     def cell_averages(self, u):
         if self.curvilinear:
             return self.rhs.cell_averages(u)   # metric-weighted means
+        if self._mode0_mean:
+            # modal Legendre: mode 0 IS the mean — one plane slice instead
+            # of a whole-state contraction
+            return self._avg0 * u[:, 0]
         from dflo_tpu.ops.contract import basis_reduce
         return basis_reduce(self.avg_op, u)
 
@@ -300,7 +319,9 @@ class Solver:
             if self._limit is not None:
                 shock = jnp.where(marked, 1e20, 0.0)
                 u = self._limit(u, ubar, shock)
-            if self._positivity is not None:
+            if self._fused_modal_pos is not None:
+                u = self._fused_modal_pos(u)
+            elif self._positivity is not None:
                 u = self._positivity(u, ubar)
         return u, stats
 

@@ -552,7 +552,7 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     standalone diagnostic passes per step disappear.
     """
     from dflo_tpu.physics import euler as _euler
-    from dflo_tpu.stab.positivity import EPS, _pos_points
+    from dflo_tpu.stab.positivity import EPS, REL_F32, _pos_points
 
     if basis.family != "Qk" or not basis.is_nodal_collocated:
         raise ValueError("fused post needs the collocated Qk basis")
@@ -736,11 +736,27 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
 
         # ---- Zhang-Shu positivity (src/positivity.cc:16-208) -----------
         if pos_lim:
+            # floor choice keyed on the RUNTIME tile dtype (pos_floors):
+            # x64 runs keep the reference's absolute 1e-13 parity
+            if W.dtype != jnp.float64:
+                # dtype-aware floors (stab/positivity.pos_floors): in f32
+                # the squeeze rounding (~ulp * avg) dwarfs the reference's
+                # absolute 1e-13, so near-vacuum points can land at -O(ulp)
+                # where 1/rho flips the pressure test
+                eps_r = jnp.maximum(EPS, REL_F32 * ub[euler.RHO])
+                p_avg_f = (euler.GAMMA - 1.0) * (
+                    ub[euler.ENE]
+                    - 0.5 * (ub[euler.MX] ** 2 + ub[euler.MY] ** 2)
+                    / ub[euler.RHO])
+                eps_p = jnp.maximum(EPS, REL_F32 * p_avg_f)[None]
+            else:
+                eps_r = EPS
+                eps_p = EPS
             Wp = jnp.stack(_cmm(P_np, [u1[:, kk] for kk in range(K)]),
                            axis=1)                  # [4, Qp, ty, tx]
             rho_min = jnp.min(Wp[euler.RHO], axis=0)
             rho_avg = ub[euler.RHO]
-            rat = (jnp.abs(rho_avg - EPS)
+            rat = (jnp.abs(rho_avg - eps_r)
                    / (jnp.abs(rho_avg - rho_min) + 1.0e-13))
             theta1 = jnp.minimum(rat, 1.0)
             u1 = jnp.where(
@@ -761,10 +777,10 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
             mavg_x, mavg_y = ub[euler.MX][None], ub[euler.MY][None]
             ravg, Eavg = ub[euler.RHO][None], ub[euler.ENE][None]
             a1 = 2.0 * drho * dE - (dmx * dmx + dmy * dmy)
-            b1 = (2.0 * drho * (Eavg - EPS / (euler.GAMMA - 1.0))
+            b1 = (2.0 * drho * (Eavg - eps_p / (euler.GAMMA - 1.0))
                   + 2.0 * ravg * dE - 2.0 * (mavg_x * dmx + mavg_y * dmy))
             c1 = (2.0 * ravg * Eavg - (mavg_x**2 + mavg_y**2)
-                  - 2.0 * EPS * ravg / (euler.GAMMA - 1.0))
+                  - 2.0 * eps_p * ravg / (euler.GAMMA - 1.0))
             a1s = jnp.where(a1 == 0.0, 1.0, a1)
             b1n, c1n = b1 / a1s, c1 / a1s
             Dq = jnp.sqrt(jnp.abs(b1n * b1n - 4.0 * c1n))
@@ -774,7 +790,7 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
             t = jnp.where(t1_ok, t1, t2)
             t = jnp.clip(t, 0.0, 1.0)
             t = jnp.where(jnp.abs(1.0 - t) < 1.0e-14, 0.0, t)
-            t = jnp.where(pre < EPS, t, 1.0)
+            t = jnp.where(pre < eps_p, t, 1.0)
             theta2 = jnp.min(t, axis=0)
             u1 = u1 * theta2[None, None] + ub[:, None] * (1 - theta2[None, None])
 
@@ -929,3 +945,138 @@ def make_fused_diag(basis, mesh, dtype=jnp.float32):
         return call(u, interpret=_interpret())
 
     return diag
+
+
+# ---------------------------------------------------------------------------
+# Fused modal-basis stage post: {MOOD degree truncation -> Zhang-Shu
+# positivity} in ONE element-local VMEM pass (no halos — both operations are
+# cell-local).  The MOOD cascade calls this before every candidate rhs
+# evaluation (stab/mood.py candidate()); the XLA chain it replaces
+# materializes the truncation gather, the pos-point evaluation and two
+# scale passes in HBM (~6 state transfers/pass measured at 2.9 ms on v5e
+# for the bench shapes, ~35x the bandwidth roofline).
+# ---------------------------------------------------------------------------
+
+
+def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
+    """Build fused(u[, deg]) -> u_limited for a modal (Pk) basis.
+
+    with_trunc=True: zero every mode of total degree > deg[cell] first
+    (reduce_degree_Pk, src/mood.cc:174-191), then apply the Zhang-Shu
+    positivity limiter (src/positivity.cc:16-208) about the (truncation-
+    invariant) mode-0 cell average.  Numerically identical to
+    stab/positivity.make_positivity_limiter on the truncated state,
+    including its dtype-aware positivity floors (pos_floors)."""
+    from dflo_tpu.stab.positivity import EPS, REL_F32, _pos_points
+
+    if basis.family != "Pk":
+        raise ValueError("fused modal positivity needs a modal (Pk) basis")
+    K = basis.K
+    avg_full = basis.wq2 @ basis.V
+    assert np.abs(avg_full[1:]).max() < 1e-13, "mode 0 must carry the mean"
+    avg0 = float(avg_full[0])
+    mode_deg = [int(d) for d in basis.mode_degree]
+    P_np = np.asarray(basis.eval_at(_pos_points(basis.degree)), np.float64)
+
+    def kernel(*refs):
+        if with_trunc:
+            u_ref, deg_ref, out_ref = refs
+            dg = deg_ref[:]                             # [ty, tx] int32
+        else:
+            u_ref, out_ref = refs
+        W = u_ref[:]                                    # [4, K, ty, tx]
+        if with_trunc:
+            W = jnp.stack(
+                [jnp.where(dg >= mode_deg[kk], W[:, kk], 0.0)
+                 if mode_deg[kk] > 0 else W[:, kk] for kk in range(K)],
+                axis=1)
+        ub = avg0 * W[:, 0]                             # [4, ty, tx]
+        if W.dtype != jnp.float64:   # pos_floors, keyed on runtime dtype
+            eps_r = jnp.maximum(EPS, REL_F32 * ub[euler.RHO])
+            p_avg = (euler.GAMMA - 1.0) * (
+                ub[euler.ENE] - 0.5 * (ub[euler.MX] ** 2 + ub[euler.MY] ** 2)
+                / ub[euler.RHO])
+            eps_p = jnp.maximum(EPS, REL_F32 * p_avg)[None]
+        else:
+            eps_r = EPS
+            eps_p = EPS
+
+        # ---- density pass (src/positivity.cc:68-111) -------------------
+        Wp = jnp.stack(_cmm(P_np, [W[:, kk] for kk in range(K)]),
+                       axis=1)                          # [4, Qp, ty, tx]
+        rho_min = jnp.min(Wp[euler.RHO], axis=0)
+        rho_avg = ub[euler.RHO]
+        rat = jnp.abs(rho_avg - eps_r) / (jnp.abs(rho_avg - rho_min) + 1.0e-13)
+        theta1 = jnp.minimum(rat, 1.0)[None]            # [1, ty, tx]
+        # modal scaling: non-mean coefficients shrink, mode 0 mixes toward
+        # the average (scale_about_avg, stab/positivity.py).  Mosaic has no
+        # scatter: single-row updates on the untiled leading axes are
+        # expressed as concat/stack instead of .at[].set
+        rho0_new = (W[euler.RHO, 0] * theta1[0]
+                    + ub[euler.RHO] * (1.0 - theta1[0]))
+        rho_modes = jnp.concatenate(
+            [rho0_new[None], W[euler.RHO, 1:] * theta1], axis=0)
+        W = jnp.stack([rho_modes if ci == euler.RHO else W[ci]
+                       for ci in range(4)])
+        Wp = jnp.stack([Wp[ci] * theta1 + rho_avg[None] * (1.0 - theta1)
+                        if ci == euler.RHO else Wp[ci] for ci in range(4)])
+
+        # ---- pressure pass (src/positivity.cc:113-182) ------------------
+        pre = (euler.GAMMA - 1.0) * (
+            Wp[euler.ENE] - 0.5 * (Wp[euler.MX] ** 2 + Wp[euler.MY] ** 2)
+            / Wp[euler.RHO])
+        d = Wp - ub[:, None]
+        drho, dE = d[euler.RHO], d[euler.ENE]
+        dmx, dmy = d[euler.MX], d[euler.MY]
+        mavg_x, mavg_y = ub[euler.MX][None], ub[euler.MY][None]
+        ravg, Eavg = ub[euler.RHO][None], ub[euler.ENE][None]
+        a1 = 2.0 * drho * dE - (dmx * dmx + dmy * dmy)
+        b1 = (2.0 * drho * (Eavg - eps_p / (euler.GAMMA - 1.0))
+              + 2.0 * ravg * dE - 2.0 * (mavg_x * dmx + mavg_y * dmy))
+        c1 = (2.0 * ravg * Eavg - (mavg_x**2 + mavg_y**2)
+              - 2.0 * eps_p * ravg / (euler.GAMMA - 1.0))
+        a1s = jnp.where(a1 == 0.0, 1.0, a1)
+        b1n, c1n = b1 / a1s, c1 / a1s
+        Dq = jnp.sqrt(jnp.abs(b1n * b1n - 4.0 * c1n))
+        t1 = 0.5 * (-b1n - Dq)
+        t2 = 0.5 * (-b1n + Dq)
+        t1_ok = (t1 > -1.0e-12) & (t1 < 1.0 + 1.0e-12)
+        t = jnp.where(t1_ok, t1, t2)
+        t = jnp.clip(t, 0.0, 1.0)
+        t = jnp.where(jnp.abs(1.0 - t) < 1.0e-14, 0.0, t)
+        t = jnp.where(pre < eps_p, t, 1.0)
+        theta2 = jnp.min(t, axis=0)[None]               # [1, ty, tx]
+        out0 = W[:, 0] * theta2 + ub * (1.0 - theta2)   # [4, ty, tx]
+        out_ref[:] = jnp.concatenate(
+            [out0[:, None], W[:, 1:] * theta2[:, None]], axis=1)
+
+    @functools.partial(jax.jit, static_argnames=("interpret",))
+    def call(u, deg=None, interpret=False):
+        c, k, ny, nx = u.shape
+        TY = 8 if ny % 8 == 0 else ny
+        TX = nx
+        for cand in (512, 384, 256, 128):
+            if nx % cand == 0:
+                TX = cand
+                break
+        ni, nj = ny // TY, nx // TX
+        spec_u = pl.BlockSpec((c, k, TY, TX), lambda i, j: (0, 0, i, j),
+                              memory_space=pltpu.VMEM)
+        in_specs = [spec_u]
+        args = [u]
+        if with_trunc:
+            in_specs.append(pl.BlockSpec((TY, TX), lambda i, j: (i, j),
+                                         memory_space=pltpu.VMEM))
+            args.append(deg)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+            grid=(ni, nj),
+            in_specs=in_specs,
+            out_specs=spec_u,
+            interpret=interpret,
+        )(*args)
+
+    if with_trunc:
+        return lambda u, deg: call(u, deg, interpret=_interpret())
+    return lambda u: call(u, interpret=_interpret())

@@ -91,7 +91,8 @@ class MoodStats(NamedTuple):
 
 def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
               per_y: bool = False, mask=None, dtype=None, max_iters: int = 20,
-              positivity=None, dmp_bounds: str = "neighborhood"):
+              positivity=None, dmp_bounds: str = "neighborhood",
+              fused_trunc_pos=None):
     """Build mood_stage(u_pre, t, dt) -> (u_candidate, limiter_marked,
     MoodStats).
 
@@ -119,7 +120,11 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
     density/pressure trace values to the Riemann flux; re-applying Zhang-Shu
     after truncation restores the positivity invariant the candidate update
     relies on (the reference's fused positivity-inside-the-limiter-loop
-    pattern, src_mpi/limiter.cc:230,389,549)."""
+    pattern, src_mpi/limiter.cc:230,389,549).
+
+    fused_trunc_pos: optional fused {truncation -> positivity} kernel
+    (u, deg) -> u_t (ops/pallas_kernels.make_fused_modal_pos) replacing the
+    XLA truncation gather + positivity chain on TPU."""
     dtype = dtype or jnp.zeros(0).dtype
     if basis.family != "Pk":
         raise ValueError("MOOD is implemented only for Pk "
@@ -136,7 +141,18 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
     for d in range(p + 1):
         trunc[d] = (basis.mode_degree <= d).astype(float)
     trunc = jnp.asarray(trunc, dtype)
-    avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
+    avg_np = basis.wq2 @ basis.V
+    avg_op = jnp.asarray(avg_np, dtype)
+    # modal Legendre: mode 0 IS the cell mean, so averages are one plane
+    # slice instead of a whole-state contraction (the other coefficients of
+    # avg_np are quadrature roundoff, < 1e-13)
+    mode0_mean = float(np.abs(avg_np[1:]).max()) < 1e-13
+    avg0 = float(avg_np[0])
+
+    def rho_mean(u):
+        if mode0_mean:
+            return avg0 * u[euler.RHO, 0]
+        return basis_reduce(avg_op, u)[euler.RHO]
 
     # u2 second-derivative coefficient positions (src/mood.cc:215-231)
     if p >= 2:
@@ -162,9 +178,15 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
     if dmp_bounds not in ("neighborhood", "collapsed"):
         raise ValueError(f"unknown dmp_bounds {dmp_bounds!r}")
 
+    use_fused = fused_trunc_pos is not None and positivity is not None
+
     def mood_stage(u_pre, t, dt):
-        ubar0 = basis_reduce(avg_op, u_pre)
-        rho0 = ubar0[euler.RHO]
+        if use_fused or positivity is None:
+            rho0 = rho_mean(u_pre)
+            ubar0 = None            # full averages only feed XLA positivity
+        else:
+            ubar0 = basis_reduce(avg_op, u_pre)
+            rho0 = ubar0[euler.RHO]
         if dmp_bounds == "collapsed":
             dmp_min = dmp_max = rho0
         else:
@@ -175,18 +197,23 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
         lim0 = jnp.zeros(u_pre.shape[-2:], bool)
 
         def candidate(deg):
-            tm = trunc[deg]                          # [ny, nx, K]
-            u_t = u_pre * jnp.moveaxis(tm, -1, 0)[None]
-            if positivity is not None:
-                # truncation keeps the mean (mode 0) but not positivity at
-                # the quadrature/trace points; re-limit before the flux eval
-                u_t = positivity(u_t, ubar0)
+            if use_fused:
+                # one VMEM pass: truncation + positivity, no HBM temps
+                u_t = fused_trunc_pos(u_pre, deg)
+            else:
+                tm = trunc[deg]                      # [ny, nx, K]
+                u_t = u_pre * jnp.moveaxis(tm, -1, 0)[None]
+                if positivity is not None:
+                    # truncation keeps the mean (mode 0) but not positivity
+                    # at the quadrature/trace points; re-limit before the
+                    # flux eval
+                    u_t = positivity(u_t, ubar0)
             return u_t + dt * rhs(u_t, t)
 
         def body(carry):
             deg, lim, _, it, _ = carry
             u_c = candidate(deg)
-            rho = basis_reduce(avg_op, u_c)[euler.RHO]
+            rho = rho_mean(u_c)
             dmp = (rho - dmp_min > -DMP_EPS) & (rho - dmp_max < DMP_EPS)
             ok = dmp | u2_ok(u_c)
             fail = ~ok

@@ -22,6 +22,25 @@ from dflo_tpu.physics import euler
 
 EPS = 1.0e-13  # src/positivity.cc:27
 
+#: f32 relative floor (~32 ulps): the reference's absolute 1e-13 floor is
+#: meaningful in f64 but sits far BELOW f32 squeeze rounding (~1e-7 * avg),
+#: so an f32 Zhang-Shu squeeze can land point densities at -O(ulp) — where
+#: p = (gamma-1)(E - m^2/(2 rho)) flips sign with huge magnitude and the
+#: pressure pass wrongly skips the cell.  Relative floors keep the squeezed
+#: values a safe margin above the rounding noise.
+REL_F32 = 4.0e-6
+
+
+def pos_floors(ubar, dtype):
+    """Per-cell (eps_rho, eps_p) positivity floors: the reference's absolute
+    EPS in f64 (src/positivity.cc:27), relative floors in f32."""
+    if jnp.dtype(dtype) == jnp.float64:
+        e = jnp.asarray(EPS, dtype)
+        return e, e
+    eps_r = jnp.maximum(EPS, REL_F32 * ubar[euler.RHO])
+    eps_p = jnp.maximum(EPS, REL_F32 * euler.pressure(ubar))
+    return eps_r, eps_p
+
 
 def _pos_points(degree: int) -> np.ndarray:
     """Mixed GLL x Gauss point sets (src/positivity.cc:42-46): 2N-3 >= degree."""
@@ -61,11 +80,12 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
         return jnp.where(mask[(...,) + (None,) * (u.ndim - 1)], u_new, u)
 
     def limit(u, ubar):
+        eps_r, eps_p = pos_floors(ubar, u.dtype)
         # ---- density pass (src/positivity.cc:68-111) ----------------------
         W = basis_apply(P, u)                          # [4, Qp, ny, nx]
         rho_min = jnp.min(W[euler.RHO], axis=0)        # [ny, nx]
         rho_avg = ubar[euler.RHO]
-        rat = jnp.abs(rho_avg - EPS) / (jnp.abs(rho_avg - rho_min) + 1.0e-13)
+        rat = jnp.abs(rho_avg - eps_r) / (jnp.abs(rho_avg - rho_min) + 1.0e-13)
         theta1 = jnp.minimum(rat, 1.0)
         u = scale_about_avg(u, ubar, theta1, comps=(euler.RHO,))
 
@@ -82,11 +102,12 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
         mavg_x, mavg_y = ubar[euler.MX][None], ubar[euler.MY][None]
         ravg, Eavg = ubar[euler.RHO][None], ubar[euler.ENE][None]
 
+        epn = eps_p[None]
         a1 = 2.0 * drho * dE - (dmx * dmx + dmy * dmy)
-        b1 = (2.0 * drho * (Eavg - EPS / (euler.GAMMA - 1.0))
+        b1 = (2.0 * drho * (Eavg - epn / (euler.GAMMA - 1.0))
               + 2.0 * ravg * dE - 2.0 * (mavg_x * dmx + mavg_y * dmy))
         c1 = (2.0 * ravg * Eavg - (mavg_x**2 + mavg_y**2)
-              - 2.0 * EPS * ravg / (euler.GAMMA - 1.0))
+              - 2.0 * epn * ravg / (euler.GAMMA - 1.0))
         a1s = jnp.where(a1 == 0.0, 1.0, a1)            # guard /0 of untaken pts
         b1n, c1n = b1 / a1s, c1 / a1s
         D = jnp.sqrt(jnp.abs(b1n * b1n - 4.0 * c1n))
@@ -96,7 +117,7 @@ def make_positivity_limiter(basis: basis_mod.Basis, mesh=None, dtype=None):
         t = jnp.where(t1_ok, t1, t2)
         t = jnp.clip(t, 0.0, 1.0)
         t = jnp.where(jnp.abs(1.0 - t) < 1.0e-14, 0.0, t)  # round-off guard
-        t = jnp.where(pre < EPS, t, 1.0)
+        t = jnp.where(pre < epn, t, 1.0)
         theta2 = jnp.min(t, axis=0)                    # [ny, nx]
         return scale_about_avg(u, ubar, theta2)
 

@@ -207,3 +207,72 @@ def test_mood_dmp_deviation_validated_side_by_side():
     _, mc, sc = mood_col(smooth, 0.0, dt)
     assert int(si.n_reduce) == 0 and not bool(jnp.any(mi))
     assert int(sc.n_reduce) == 0 and not bool(jnp.any(mc))
+
+
+def test_mood_fused_trunc_pos_matches_xla_step():
+    """Full MOOD solver step with the fused {truncation -> positivity}
+    kernel (ops/pallas_kernels.make_fused_modal_pos, interpret mode here)
+    == the XLA chain, on a shocked Sod state where the cascade and the
+    positivity limiter are both active."""
+    from dflo_tpu.driver import LimiterConfig, Solver
+    from dflo_tpu.mesh import CartesianMesh
+    from dflo_tpu.solver.spatial import BoundarySide
+
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(64, 8, 0.0, 1.0, 0.0, 0.125)
+    bcs = dict(W=BoundarySide(euler.BC_OUTFLOW),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP), N=BoundarySide(euler.BC_SLIP))
+    lim = LimiterConfig(type="TVB", shock_indicator="limiter", beta=2.0,
+                        char_lim=True, pos_lim=True)
+
+    def sod(x, y, t=0.0):
+        rho = jnp.where(x <= 0.5, 1.0, 0.125)
+        E = jnp.where(x <= 0.5, 2.5, 0.25)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, E])
+
+    u0 = ic.set_initial_condition(basis, mesh, sod)
+    s_x = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.4,
+                 method="mood")
+    # volume_kernel='fused' on CPU = interpret-mode Pallas for BOTH the
+    # residual and the modal trunc+pos kernel (driver wires ftp under it)
+    s_f = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.4,
+                 method="mood", volume_kernel="fused")
+    assert s_f._fused_modal_pos is not None
+    ux, uf = u0, u0
+    t = jnp.zeros(())
+    fired = 0
+    for _ in range(6):
+        ux, dtx, _, stx = s_x._step(ux, t, jnp.asarray(1.0))
+        uf, dtf, _, stf = s_f._step(uf, t, jnp.asarray(1.0))
+        # the fused rhs reassociates f64 vs XLA (1-ulp deviations, same as
+        # the plain fused-kernel tests), so dt agrees to roundoff not bits
+        np.testing.assert_allclose(float(dtf), float(dtx), rtol=1e-12)
+        assert int(stx.n_reduce) == int(stf.n_reduce)
+        fired += int(stx.n_reduce)
+        t = t + dtx
+    np.testing.assert_allclose(np.array(uf), np.array(ux),
+                               rtol=1e-9, atol=1e-11)
+
+    # cascade-firing case: strong vortex on a coarse grid at a large fixed
+    # dt (the unresolved-extremum setup above) — reductions must agree and
+    # the truncated+re-positivity-limited candidates must match
+    mesh_v = CartesianMesh(24, 24, -5.0, 5.0, -5.0, 5.0)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs_v = dict(W=per, E=per, S=per, N=per)
+    uv = ic.set_initial_condition(basis, mesh_v, ic.isentropic_vortex_steady())
+    sv_x = Solver(basis, mesh_v, bcs_v, flux="lxf", limiter=lim,
+                  method="mood", fixed_time_step=1e-3)
+    sv_f = Solver(basis, mesh_v, bcs_v, flux="lxf", limiter=lim,
+                  method="mood", fixed_time_step=1e-3,
+                  volume_kernel="fused")
+    ux2, _, _, stx2 = sv_x._step(uv, jnp.zeros(()), jnp.asarray(1.0))
+    uf2, _, _, stf2 = sv_f._step(uv, jnp.zeros(()), jnp.asarray(1.0))
+    assert int(stx2.n_reduce) > 0         # the cascade actually fired
+    assert int(stx2.n_reduce) == int(stf2.n_reduce)
+    fired += int(stx2.n_reduce)
+    np.testing.assert_allclose(np.array(uf2), np.array(ux2),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.array(uf), np.array(ux),
+                               rtol=1e-11, atol=1e-11)

@@ -141,3 +141,56 @@ def test_forward_step_like_blast_survives():
     pre = np.array(euler.pressure(jnp.asarray(ub)))
     assert np.isfinite(ub).all()
     assert ub[euler.RHO].min() > 0 and pre.min() > 0
+
+
+def test_positivity_f32_relative_floors():
+    """f32 robustness of the Zhang-Shu squeeze (pos_floors): with the
+    reference's absolute 1e-13 floor, an f32 squeeze can land point
+    densities at -O(ulp * avg), where p = (g-1)(E - m^2/(2 rho)) flips sign
+    with huge magnitude and the pressure pass wrongly SKIPS the cell (the
+    round-3 TPU MOOD NaN).  The dtype-aware relative floors must keep
+    squeezed point densities strictly positive and bound the pressure
+    undershoot, in BOTH the XLA limiter and the fused modal kernel."""
+    import jax
+    from dflo_tpu.ops.contract import basis_apply, basis_reduce
+    from dflo_tpu.ops.pallas_kernels import make_fused_modal_pos
+    from dflo_tpu.stab.positivity import (REL_F32, _pos_points,
+                                          make_positivity_limiter)
+
+    b = make_basis("Pk", 2)
+    rng = np.random.default_rng(0)
+    ny, nx = 16, 128
+    u = np.zeros((4, b.K, ny, nx), np.float32)
+    # adversarial DMR-scale modal data: near-vacuum points, wild curvature
+    u[2] = (rng.random((b.K, ny, nx)) - 0.5) * 2.0
+    u[2, 0] = 1.4 + 6.6 * rng.random((ny, nx))
+    u[0] = 40 * (rng.random((b.K, ny, nx)) - 0.5)
+    u[0, 0] = 8 * 7.14 * rng.random((ny, nx))
+    u[1, 0] = -8 * 4.1 * rng.random((ny, nx))
+    u[3, 0] = 116.5 / 0.4 + 0.5 * (u[0, 0]**2 + u[1, 0]**2) / u[2, 0]
+    u[3, 1:] = 100 * (rng.random((b.K - 1, ny, nx)) - 0.5)
+    u = jnp.asarray(u, jnp.float32)
+
+    avg32 = jnp.asarray(b.wq2 @ b.V, jnp.float32)
+    ubar = basis_reduce(avg32, u)
+    P32 = jnp.asarray(b.eval_at(_pos_points(2)), jnp.float32)
+    p_scale = float(jnp.abs(euler.pressure(basis_apply(P32, u))).max())
+
+    outs = {
+        "xla": make_positivity_limiter(b, dtype=jnp.float32)(u, ubar),
+        "fused": make_fused_modal_pos(b, jnp.float32, with_trunc=False)(u),
+    }
+    for name, v in outs.items():
+        assert v.dtype == jnp.float32
+        W = basis_apply(P32, v)
+        rho_min = float(W[euler.RHO].min())
+        p_min = float(euler.pressure(W).min())
+        # density: strictly positive with a real margin (the floor minus
+        # squeeze roundoff), never -O(ulp)
+        assert rho_min > 0.1 * REL_F32 * 1.4, (name, rho_min)
+        # pressure: undershoot bounded by f32 evaluation noise of the
+        # quadratic (relative to the point-pressure scale), not O(1)
+        assert p_min > -1e-6 * p_scale, (name, p_min, p_scale)
+    # the two implementations agree to f32 accumulation noise
+    d = float(jnp.abs(outs["xla"] - outs["fused"]).max())
+    assert d < 1e-2, d
