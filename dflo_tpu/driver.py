@@ -229,8 +229,25 @@ class Solver:
                     and basis.family == "Pk"):
                 from dflo_tpu.ops.pallas_kernels import make_fused_modal_pos
                 ftp = make_fused_modal_pos(basis, dtype, with_trunc=True)
-                self._fused_modal_pos = make_fused_modal_pos(
-                    basis, dtype, with_trunc=False)
+                fmp = make_fused_modal_pos(basis, dtype, with_trunc=False)
+                if device_mesh is not None:
+                    # the kernel is element-local: each device runs it on
+                    # its own block (pallas_call cannot consume a
+                    # GSPMD-sharded operand directly)
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    from dflo_tpu.parallel.sharding import mesh_y_axes
+                    yax = mesh_y_axes(device_mesh)
+                    xax = device_mesh.axis_names[-1]
+                    su = P(None, None, yax, xax)
+                    ftp = shard_map(ftp, mesh=device_mesh,
+                                    in_specs=(su, P(yax, xax)),
+                                    out_specs=su, check_vma=False)
+                    fmp = shard_map(fmp, mesh=device_mesh,
+                                    in_specs=(su,), out_specs=su,
+                                    check_vma=False)
+                self._fused_modal_pos = fmp
             self._fused_modal_pos = getattr(self, "_fused_modal_pos", None)
             self._mood_stage = make_mood(basis, mesh, self.rhs, per_x, per_y,
                                          mask=mask, dtype=dtype,

@@ -360,3 +360,63 @@ def test_fused_solver_multislice_end_to_end():
     assert len(uss.sharding.device_set) == 8
     np.testing.assert_allclose(np.array(uss), np.array(us),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_mood_fused_sharded_end_to_end():
+    """Sharded MOOD with volume_kernel='fused': the shard_map'd fused rhs
+    AND the shard_map-wrapped fused modal trunc+positivity kernel — must
+    match the single-device fused MOOD solver.
+
+    The IC is a tanh-SMOOTHED Mach-10 shock, not the sharp DMR jump: with
+    piecewise-constant data the u2 exemption's flat test compares exact-zero
+    curvatures against U2_TINY, and the fused seam arithmetic's 1e-13
+    reassociation noise flips those ties (a decision difference, not a seam
+    error).  Smoothed data keeps every cascade decision O(1) away from its
+    threshold, so 3 steps must agree to roundoff while the cascade fires."""
+    basis, mesh, s1 = _dmr_mood_solver(volume_kernel="fused")
+    dm = device_mesh((2, 4))
+    _, _, sN = _dmr_mood_solver(device_mesh=dm, volume_kernel="fused")
+    assert sN._fused_modal_pos is not None
+    u0 = ic.set_initial_condition(basis, mesh, _smooth_mach10_ic)
+    us, uss = u0, shard_state(u0, dm)
+    t = jnp.zeros(())
+    fired = 0
+    for _ in range(3):
+        us, dt1, _, st1 = s1._step(us, t, jnp.asarray(1.0))
+        uss, dtN, _, stN = sN._step(uss, t, jnp.asarray(1.0))
+        np.testing.assert_allclose(float(dtN), float(dt1), rtol=1e-12)
+        assert int(st1.n_reduce) == int(stN.n_reduce)
+        fired += int(st1.n_reduce)
+        t = t + dt1
+    assert fired > 0                       # the cascade actually fired
+    assert len(uss.sharding.device_set) == 8
+    np.testing.assert_allclose(np.array(uss), np.array(us),
+                               rtol=1e-9, atol=1e-11)
+
+
+def _smooth_mach10_ic(x, y, t=0.0):
+    """Mach-10 oblique front smoothed over ~2 cells: steep enough to drive
+    the MOOD cascade, smooth enough that no cascade decision sits at a
+    roundoff tie."""
+    s = 0.5 * (1.0 - jnp.tanh((x - 1.0 / 6.0 - y / jnp.sqrt(3.0)) / 0.1))
+    rho = 1.4 + (8.0 - 1.4) * s
+    vx = 7.14471 * s
+    vy = -4.125 * s
+    p = 1.0 + (116.5 - 1.0) * s
+    return jnp.stack([rho * vx, rho * vy, rho,
+                      p / (euler.GAMMA - 1.0) + 0.5 * rho * (vx**2 + vy**2)])
+def _dmr_mood_solver(device_mesh=None, **kw):
+    """DMR Q2 Pk MOOD on tile-size-free shapes (fused kernels use full-array
+    blocks on CPU interpret mode)."""
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(64, 16, 0.0, 3.0, 0.0, 1.0)
+    inflow = lambda x, y, t: dmr_ic(x, y, t)  # noqa: E731
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_FARFIELD, inflow))
+    lim = LimiterConfig(type="TVB", shock_indicator="limiter", beta=2.0,
+                        char_lim=True, pos_lim=True)
+    return basis, mesh, Solver(basis, mesh, bcs, flux="hllc", limiter=lim,
+                               cfl=0.5, method="mood",
+                               device_mesh=device_mesh, **kw)
