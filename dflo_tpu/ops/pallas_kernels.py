@@ -33,6 +33,24 @@ def _interpret() -> bool:
     return FORCE_INTERPRET or jax.devices()[0].platform in ("cpu",)
 
 
+
+#: row-tile height for the fused kernels (multiple of 8).  8 is the Mosaic
+#: minimum; larger tiles cut the up/dn halo-row staging cost (the XLA
+#: row-gather moves 2/TY of the state per call) at the price of VMEM
+#: footprint.  Overridable for experiments; _pick_ty clamps to a divisor.
+TILE_TY = 8
+
+
+def _pick_ty(ny: int) -> int:
+    if ny % 8:
+        return ny
+    ty = min(TILE_TY, ny)
+    ty -= ty % 8
+    while ty > 8 and ny % ty:
+        ty -= 8
+    return max(ty, 8) if ny % 8 == 0 else ny
+
+
 def _cmm(op, slabs):
     """Static-unrolled sparse matmul over VMEM slabs.
 
@@ -420,7 +438,7 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     def fused(u, dfw, dfe, dfs, dfn, u_old=None, scalars=None,
               interpret=False, blend=False):
         c, k, ny, nx = u.shape
-        TY = 8 if ny % 8 == 0 else ny
+        TY = _pick_ty(ny)
         # lanes: largest 128-multiple divisor of nx up to 512, else full nx
         TX = nx
         for cand in (512, 384, 256, 128):
@@ -819,7 +837,7 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         c, k, ny, nx = u.shape
         # Mosaic block rule: the last two block dims must be multiples of
         # (8, 128) or equal to the full array dims
-        TY = 8 if ny % 8 == 0 else ny
+        TY = _pick_ty(ny)
         TX = nx
         for cand in (512, 384, 256, 128):
             if nx % cand == 0:
@@ -918,7 +936,7 @@ def make_fused_diag(basis, mesh, dtype=jnp.float32):
         c, k, ny, nx = u.shape
         # Mosaic block rule: the last two block dims must be multiples of
         # (8, 128) or equal to the full array dims
-        TY = 8 if ny % 8 == 0 else ny
+        TY = _pick_ty(ny)
         TX = nx
         for cand in (512, 384, 256, 128):
             if nx % cand == 0:
@@ -1053,7 +1071,7 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def call(u, deg=None, interpret=False):
         c, k, ny, nx = u.shape
-        TY = 8 if ny % 8 == 0 else ny
+        TY = _pick_ty(ny)
         TX = nx
         for cand in (512, 384, 256, 128):
             if nx % cand == 0:
