@@ -160,8 +160,10 @@ def _reentrant_corners(mesh, mask):
     return pins
 
 
-def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None):
-    mesh, mask, side_bids = build_domain(params, prm_dir)
+def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None,
+                 domain=None):
+    mesh, mask, side_bids = (domain if domain is not None
+                             else build_domain(params, prm_dir))
 
     from dflo_tpu.ops.basis import make_basis
     family = {"Qk": "Qk", "Pk": "Pk", "GLL": "Qk_gll"}[params.basis]
@@ -388,17 +390,34 @@ def main(argv=None):
     timer = Timer()
     params = AllParameters.from_prm_file(args.prm)
     prm_dir = os.path.dirname(os.path.abspath(args.prm))
-    dm = None
-    if args.devices:
-        from dflo_tpu.parallel.sharding import (device_mesh,
-                                                device_mesh_multislice)
-        devs = jax.devices()[:args.devices]
-        dm = (device_mesh_multislice(args.slices, devices=devs)
-              if args.slices else device_mesh(devices=devs))
-        print(f"domain decomposition: {dm.devices.shape} device mesh "
-              f"{dm.axis_names}")
     with timer("Setup"):
-        solver, mask = build_solver(params, prm_dir, device_mesh=dm)
+        domain = build_domain(params, prm_dir)
+        dm = None
+        if args.devices:
+            from dflo_tpu.parallel.sharding import (compatible_shape,
+                                                    device_mesh,
+                                                    device_mesh_multislice)
+            devs = jax.devices()[:args.devices]
+            # pick the most-square device layout whose row/column splits
+            # divide the cell grid (cell_sharding needs no padding)
+            shape = None
+            dmesh = domain[0]
+            if hasattr(dmesh, "nx"):
+                shape = compatible_shape(len(devs), dmesh.ny, dmesh.nx,
+                                         n_slices=args.slices or 1)
+                if shape is None:
+                    raise SystemExit(
+                        f"no {len(devs)}-device layout divides the "
+                        f"{dmesh.ny}x{dmesh.nx} cell grid"
+                        + (f" with {args.slices} slices" if args.slices
+                           else ""))
+            dm = (device_mesh_multislice(args.slices, shape=shape,
+                                         devices=devs)
+                  if args.slices else device_mesh(shape, devices=devs))
+            print(f"domain decomposition: {dm.devices.shape} device mesh "
+                  f"{dm.axis_names}")
+        solver, mask = build_solver(params, prm_dir, device_mesh=dm,
+                                    domain=domain)
     basis, mesh = solver.basis, solver.mesh
     mesh_desc = (f"{mesh.nx}x{mesh.ny}" if hasattr(mesh, "nx")
                  else f"{mesh.n_cells} cells (unstructured)")

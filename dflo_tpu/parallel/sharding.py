@@ -85,6 +85,27 @@ def device_mesh_multislice(n_slices: int, shape: tuple[int, int] | None = None,
     return Mesh(arr, ("slice", "dy", "dx"))
 
 
+def compatible_shape(n: int, ny: int, nx: int,
+                     n_slices: int = 1) -> tuple[int, int] | None:
+    """Most-square (a, b) with a*b = n/n_slices whose folded row split
+    n_slices*a divides ny and whose column split b divides nx — so
+    `cell_sharding` can place a [.., ny, nx] state without padding.
+    Returns None if no factorization divides the grid."""
+    per = n // n_slices
+    if n % n_slices:
+        raise ValueError(f"{n} devices not divisible into {n_slices} slices")
+    best = None
+    for a in range(1, per + 1):
+        if per % a:
+            continue
+        b = per // a
+        if ny % (n_slices * a) == 0 and nx % b == 0:
+            score = abs(a - b)
+            if best is None or score < best[0]:
+                best = (score, (a, b))
+    return best[1] if best else None
+
+
 def mesh_grid_shape(mesh: Mesh) -> tuple[int, int]:
     """Effective (DY, DX) cell-grid decomposition of a 2-D or 3-D device
     mesh: all leading axes fold into the y split, the last axis is x."""

@@ -108,3 +108,15 @@ def test_angular_momentum_matches_quadrature():
     assert abs(am - 8.0 / 3.0) < 1e-10
     tot = np.array(totals(basis, mesh, u))
     assert abs(tot[euler.RHO] - 4.0) < 1e-10
+
+
+def test_cli_multislice_devices(tmp_path):
+    """--devices 8 --slices 2 drives a reference config on the 3-axis
+    ('slice', 'dy', 'dx') mesh (parallel/sharding.device_mesh_multislice)."""
+    from dflo_tpu.cli import main
+    rc = main([f"{REF}/sod_shock_tube/input.prm",
+               "--final-time", "0.02",
+               "--devices", "8", "--slices", "2",
+               "--output-dir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "master_file.visit").exists()
