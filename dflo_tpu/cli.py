@@ -160,6 +160,17 @@ def _reentrant_corners(mesh, mask):
     return pins
 
 
+
+def _maybe_trace(args):
+    """jax.profiler device-trace context for --profile DIR (SURVEY 5.1:
+    the TPU analog of the reference's TimerOutput phase scopes)."""
+    import contextlib
+    if getattr(args, "profile", None):
+        from dflo_tpu.utils.profiling import device_trace
+        return device_trace(args.profile)
+    return contextlib.nullcontext()
+
+
 def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None,
                  domain=None):
     mesh, mask, side_bids = (domain if domain is not None
@@ -340,7 +351,7 @@ def _main_amr(args, params, solver, timer, t_wall):
         if out_iter and it % out_iter == 0:
             write_snapshot(pools, t)
 
-    with timer("Time loop"):
+    with timer("Time loop"), _maybe_trace(args):
         pools, t, it = solver.run(pools, t_end, callback=callback,
                                   max_steps=args.max_steps)
     write_snapshot(pools, t)
@@ -377,6 +388,10 @@ def main(argv=None):
                     help="with --devices: arrange them as S DCN-connected "
                          "slices x (devices/S) per slice — the slice axis "
                          "carries only the adjacent-band halo row")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the time "
+                         "loop into DIR (TensorBoard/XProf; the named "
+                         "scopes of utils/profiling appear in the trace)")
     args = ap.parse_args(argv)
 
     import jax
@@ -532,7 +547,7 @@ def main(argv=None):
             am = float(angular_momentum(basis, mesh, u, mask))
             print(f"Total angular momentum: {t:18.8e} {am:24.14e}")
 
-    with timer("Time loop"):
+    with timer("Time loop"), _maybe_trace(args):
         if params.is_stationary and solver.method == "implicit":
             # pseudo-transient steady solve (naca0012 m063.prm workflow),
             # grid-sequenced when a coarse companion exists
