@@ -1,0 +1,136 @@
+"""On-device self-check: the Mosaic-COMPILED fused kernels vs the XLA path.
+
+The CPU test suite exercises the same kernel code in interpret mode; Mosaic
+compilation is a second implementation of record (lowering differences such
+as unsupported primitives or layout bugs only appear here).  Run on a real
+TPU:  python scripts/tpu_selfcheck.py
+
+Checks, all in production f32 on DMR-scale states:
+  1. fused residual (Qk + Pk, all five fluxes) vs XLA rhs
+  2. fused SSP stage (blend) vs XLA stage arithmetic
+  3. fused post chain vs XLA {indicator -> TVB -> positivity}
+  4. fused modal trunc+positivity vs XLA truncation + positivity
+  5. fused diag (lam, minq) vs XLA reductions
+Tolerances are f32 reassociation-scale, relative to each field's magnitude.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+from dflo_tpu import ic
+from dflo_tpu.mesh import CartesianMesh
+from dflo_tpu.ops.basis import make_basis
+from dflo_tpu.physics import euler
+from dflo_tpu.solver.spatial import BoundarySide, make_rhs
+
+
+def dmr_ic(x, y, t=0.0):
+    post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))
+    rho = jnp.where(post, 8.0, 1.4)
+    vx = jnp.where(post, 7.14471, 0.0)
+    vy = jnp.where(post, -4.125, 0.0)
+    p = jnp.where(post, 116.5, 1.0)
+    return jnp.stack([rho * vx, rho * vy, rho,
+                      p / (euler.GAMMA - 1.0) + 0.5 * rho * (vx**2 + vy**2)])
+
+
+def rel(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-30))
+
+
+def main():
+    assert jax.devices()[0].platform not in ("cpu",), \
+        "self-check needs a real TPU (CPU runs exercise interpret mode)"
+    failures = []
+
+    def check(name, r, tol):
+        ok = r < tol
+        print(f"  {'PASS' if ok else 'FAIL'}  {name}: rel {r:.3e} "
+              f"(tol {tol:.0e})")
+        if not ok:
+            failures.append(name)
+
+    nx, ny = 256, 64
+    mesh = CartesianMesh(nx, ny, 0.0, 4.0, 0.0, 1.0)
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, dmr_ic),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_FARFIELD, dmr_ic))
+
+    print("1/2. fused residual + stage vs XLA")
+    for fam in ("Qk", "Pk"):
+        basis = make_basis(fam, 2)
+        u = ic.set_initial_condition(basis, mesh, dmr_ic)
+        for flux in ("lxf", "sw", "roe", "hllc", "kfvs"):
+            rx = make_rhs(basis, mesh, bcs, flux=flux)
+            rf = make_rhs(basis, mesh, bcs, flux=flux, volume_kernel="fused")
+            check(f"rhs {fam} {flux}", rel(rf(u, 0.0), rx(u, 0.0)), 2e-5)
+        rf = make_rhs(basis, mesh, bcs, flux="hllc", volume_kernel="fused")
+        rx = make_rhs(basis, mesh, bcs, flux="hllc")
+        a, dt = 0.3, 1e-4
+        st = rf.stage(u, u, 0.0, a, dt)
+        ref = a * u + (1 - a) * (u + dt * rx(u, 0.0))
+        check(f"stage {fam} hllc", rel(st, ref), 2e-6)
+
+    print("3. fused post chain vs XLA")
+    from dflo_tpu.ops.contract import basis_reduce
+    from dflo_tpu.ops.pallas_kernels import make_fused_post
+    from dflo_tpu.stab.indicator import make_shock_indicator
+    from dflo_tpu.stab.limiter import make_tvb_limiter
+    from dflo_tpu.stab.positivity import make_positivity_limiter
+    basis = make_basis("Qk", 2)
+    u = ic.set_initial_condition(basis, mesh, dmr_ic)
+    ubar = basis_reduce(jnp.asarray(basis.wq2 @ basis.V, u.dtype), u)
+    shock, _ = make_shock_indicator(basis, mesh, "density", False, False,
+                                    u.dtype)(u, ubar, 0.0)
+    ux = make_tvb_limiter(basis, mesh, M=10.0, char_lim=True,
+                          dtype=u.dtype)(u, ubar, shock)
+    ux = make_positivity_limiter(basis, mesh, u.dtype)(ux, ubar)
+    fp = make_fused_post(basis, mesh, indicator="density", M=10.0,
+                         char_lim=True, pos_lim=True, dtype=u.dtype)
+    check("post chain", rel(fp(u), ux), 2e-5)
+
+    print("4. fused modal trunc+pos vs XLA")
+    from dflo_tpu.ops.pallas_kernels import make_fused_modal_pos
+    basis_p = make_basis("Pk", 2)
+    up = ic.set_initial_condition(basis_p, mesh, dmr_ic)
+    rng = np.random.default_rng(0)
+    deg = jnp.asarray(rng.integers(1, 3, (ny, nx)), jnp.int32)
+    trunc = np.zeros((3, basis_p.K))
+    for d in range(3):
+        trunc[d] = (basis_p.mode_degree <= d).astype(float)
+    u_t = up * jnp.moveaxis(jnp.asarray(trunc, up.dtype)[deg], -1, 0)[None]
+    ub = basis_reduce(jnp.asarray(basis_p.wq2 @ basis_p.V, up.dtype), up)
+    ref = make_positivity_limiter(basis_p, mesh, up.dtype)(u_t, ub)
+    got = make_fused_modal_pos(basis_p, up.dtype, with_trunc=True)(up, deg)
+    check("modal trunc+pos", rel(got, ref), 2e-6)
+
+    print("5. fused diag vs XLA reductions")
+    from dflo_tpu.ops.pallas_kernels import make_fused_diag
+    lam, minq = make_fused_diag(basis, mesh, u.dtype)(u)
+    cs = jnp.sqrt(euler.GAMMA * euler.pressure(ubar) / ubar[euler.RHO])
+    vx = jnp.abs(ubar[euler.MX] / ubar[euler.RHO])
+    vy = jnp.abs(ubar[euler.MY] / ubar[euler.RHO])
+    lam_ref = jnp.max((cs + vx) / mesh.diameter_h + (cs + vy) / mesh.diameter_h)
+    minq_ref = jnp.minimum(ubar[euler.RHO].min(), euler.pressure(ubar).min())
+    check("diag lam", rel(lam, lam_ref), 1e-6)
+    check("diag minq", rel(minq, minq_ref), 1e-6)
+
+    if failures:
+        print(f"\nSELF-CHECK FAILED: {failures}")
+        sys.exit(1)
+    print("\nall compiled-kernel checks PASSED")
+
+
+if __name__ == "__main__":
+    main()
