@@ -249,8 +249,10 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None,
         # prefer T=2: at T=4 a tile refines up to 16x more cells than exact
         # per-cell flags would (src/refine.cc:48-60); T=2 caps the waste at
         # 4x for the same pool capacity (the accounting is printed per
-        # adaptation event)
-        for T in (2, 4, 1):
+        # adaptation event).  `set tile = 1` requests exact per-cell flags.
+        cands = ((params.refinement.tile,) if params.refinement.tile
+                 else (2, 4, 1))
+        for T in cands:
             if mesh.nx % T == 0 and mesh.ny % T == 0:
                 if mask is None:
                     break
@@ -258,6 +260,10 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None,
                     mesh.ny // T, T, mesh.nx // T, T)
                 if (tiles.all(axis=(1, 3)) == tiles.any(axis=(1, 3))).all():
                     break
+        else:
+            raise ValueError(
+                f"refinement tile {cands} incompatible with the "
+                f"{mesh.ny}x{mesh.nx} grid/mask")
         amr_cfg = AMRConfig(shock_value=params.refinement.shock_value,
                             shock_levels=max(params.refinement.shock_levels, 1),
                             iter_step=params.refinement.iter_step,

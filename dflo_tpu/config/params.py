@@ -59,6 +59,11 @@ class RefinementParams:
     max_elements: int = 1000000
     shock_value: float = 4.0
     shock_levels: int = 3
+    #: extension: refinement tile edge (cells).  0 = auto (prefers 2);
+    #: 1 = per-cell flags, exact parity with src/refine.cc:48-60; larger
+    #: tiles trade refined-cell overshoot for pool capacity (the per-event
+    #: accounting prints the overhead either way)
+    tile: int = 0
 
 
 @dataclasses.dataclass
@@ -271,7 +276,8 @@ class AllParameters:
             unrefine_fraction=float(take(rf, "unrefinement fraction", "0.1")),
             max_elements=int(take(rf, "max elements", "1000000")),
             shock_value=float(take(rf, "shock value", "4.0")),
-            shock_levels=int(float(take(rf, "shock levels", "3.0"))))
+            shock_levels=int(float(take(rf, "shock levels", "3.0"))),
+            tile=int(float(take(rf, "tile", "0"))))
         if rf:
             raise ValueError(f"unknown 'refinement' keys: {sorted(rf)}")
 

@@ -406,3 +406,55 @@ def test_amr_chunked_run_matches_per_step():
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.array(b), np.array(a),
                                    rtol=0, atol=2e-14)
+
+
+def test_refinement_tile_config_knob(tmp_path):
+    """`set tile = 1` in the refinement subsection requests exact per-cell
+    refinement flags (src/refine.cc:48-60 parity); the default prefers
+    T=2."""
+    from dflo_tpu.cli import build_solver
+    from dflo_tpu.config.params import AllParameters
+
+    prm = tmp_path / "amr.prm"
+    base = """
+set mesh type = cartesian
+set degree = 1
+subsection cartesian mesh
+   set nx = 16
+   set ny = 8
+end
+subsection boundary_1
+   set type = slip
+end
+subsection boundary_2
+   set type = outflow
+end
+subsection boundary_3
+   set type = slip
+end
+subsection boundary_4
+   set type = outflow
+end
+subsection initial condition
+   set w_2 value = 1.0
+   set w_3 value = 2.5
+end
+subsection time stepping
+   set cfl = 0.5
+   set final time = 0.1
+end
+subsection refinement
+   set refinement = true
+   set shock value = 1.0
+   set iter step = 5
+{tile}end
+"""
+    prm.write_text(base.format(tile=""))
+    params = AllParameters.from_prm_file(str(prm))
+    solver, _ = build_solver(params, str(tmp_path))
+    assert solver.T == 2                    # default preference
+
+    prm.write_text(base.format(tile="   set tile = 1\n"))
+    params = AllParameters.from_prm_file(str(prm))
+    solver, _ = build_solver(params, str(tmp_path))
+    assert solver.T == 1                    # per-cell parity
