@@ -84,10 +84,11 @@ class Solver:
         # interpret-mode Pallas would crawl.
         cfg0 = self.limiter_cfg
         if volume_kernel == "auto" or post_kernel == "auto":
+            from dflo_tpu.ops.pallas_kernels import fused_shape_ok
             on_tpu = jax.devices()[0].platform not in ("cpu",)
-            # per-device block dims must be (sublane, lane)-tile aligned;
-            # single-chip is the (1, 1) device mesh of this rule
             if device_mesh is not None:
+                # sharded: per-device block dims must be (sublane, lane)-
+                # tile aligned (no internal padding under a device mesh)
                 from dflo_tpu.parallel.sharding import mesh_grid_shape
                 DY_, DX_ = mesh_grid_shape(device_mesh)
                 tiles_ok = (mesh.ny % DY_ == 0 and mesh.nx % DX_ == 0
@@ -97,7 +98,10 @@ class Solver:
                             # delta-strip support
                             and mask is None)
             else:
-                tiles_ok = mesh.ny % 8 == 0 and mesh.nx % 128 == 0
+                # single chip: ANY shape rides the fused kernels (ragged nx
+                # becomes one full-width lane tile, ragged ny gains internal
+                # solid pad rows) except huge lane-ragged widths
+                tiles_ok = fused_shape_ok(mesh.ny, mesh.nx)
             vol_ok = (on_tpu and not self.curvilinear
                       and source is None and well_balanced is None
                       and mass_matrix == "diagonal"
@@ -107,9 +111,12 @@ class Solver:
                       and method in ("rk", "mood")
                       and tiles_ok)
             post_ok = (vol_ok and device_mesh is None
-                       and mask is None and cfg0.type == "TVB"
+                       and cfg0.type == "TVB"
                        and basis.family == "Qk" and basis.is_nodal_collocated
                        and not cfg0.conserve_angular_momentum
+                       # ragged ny pads with solid rows, which cannot model
+                       # a y-periodic neighbor stencil
+                       and not (per_y and mesh.ny % 8 != 0)
                        and cfg0.shock_indicator in ("density", "energy",
                                                     "limiter"))
             if volume_kernel == "auto":
@@ -117,11 +124,11 @@ class Solver:
             if post_kernel == "auto":
                 post_kernel = "fused" if post_ok else "xla"
             if (on_tpu and device_mesh is None and not self.curvilinear
-                    and mask is None
-                    and mesh.ny % 8 == 0 and mesh.nx % 128 == 0):
-                # fused dt/negativity diagnostics (any basis)
+                    and fused_shape_ok(mesh.ny, mesh.nx)):
+                # fused dt/negativity diagnostics (any basis; mask-aware)
                 from dflo_tpu.ops.pallas_kernels import make_fused_diag
-                self._fused_diag = make_fused_diag(basis, mesh, dtype)
+                self._fused_diag = make_fused_diag(basis, mesh, dtype,
+                                                   mask=mask)
         self._fused_diag = getattr(self, "_fused_diag", None)
         if self.curvilinear:
             from dflo_tpu.solver.spatial_curvi import make_rhs_curvilinear
@@ -195,7 +202,7 @@ class Solver:
         if post_kernel == "fused":
             # one-VMEM-pass {averages -> indicator -> TVB -> positivity}
             # chain; same eligibility envelope as volume_kernel='fused'
-            if (self.curvilinear or mask is not None or cfg.type != "TVB"
+            if (self.curvilinear or cfg.type != "TVB"
                     or cfg.conserve_angular_momentum
                     or cfg.shock_indicator not in ("density", "energy",
                                                    "limiter")
@@ -213,7 +220,7 @@ class Solver:
                 basis, mesh, indicator=cfg.shock_indicator, M=cfg.M,
                 beta=cfg.beta, char_lim=cfg.char_lim, pos_lim=cfg.pos_lim,
                 per_x=per_x, per_y=per_y, dtype=dtype,
-                with_diag=self._post_diag)
+                with_diag=self._post_diag, mask=mask)
         elif post_kernel != "xla":
             raise ValueError(f"unknown post kernel {post_kernel!r}")
 
@@ -289,7 +296,9 @@ class Solver:
     def post_stage(self, u, t=0.0):
         """Stabilization chain after each RK stage (src/claw.cc:762-766)."""
         if self._fused_post is not None:
-            out = self._fused_post(u)
+            # masked domains pin solid cells to the benign reference state
+            # before the chain (the XLA path does the same)
+            out = self._fused_post(self.apply_mask(u))
             return out[0] if self._post_diag else out
         u = self.apply_mask(u)
         if self._limit is None and self._positivity is None:
@@ -399,7 +408,8 @@ class Solver:
             elif use_post_diag:
                 u, lam_new, minq = rk_mod.ssp_rk_step(
                     self.rhs, u, t, dt, self.ark, self.stage_times,
-                    post_stage=lambda v, tt: self._fused_post(v),
+                    post_stage=lambda v, tt: self._fused_post(
+                        self.apply_mask(v)),
                     dt_field=dt_field, post_diag=True)
                 diag_out = (lam_new, minq)
             else:

@@ -51,6 +51,41 @@ def _pick_ty(ny: int) -> int:
     return max(ty, 8) if ny % 8 == 0 else ny
 
 
+def _pick_tx(nx: int) -> int:
+    """Lane-tile width: largest 128-multiple divisor up to 512, else the
+    full (ragged) width — a block dim equal to the array dim is always legal
+    and Mosaic lane-pads it internally."""
+    for cand in (512, 384, 256, 128):
+        if nx % cand == 0:
+            return cand
+    return nx
+
+
+def _strip_sx(TX: int) -> int:
+    """Lane width of the lf/rt neighbor edge blocks.  For lane-aligned tiles
+    a 128-lane block (one lane tile) suffices; a ragged TX cannot be
+    sub-blocked (the edge offset arithmetic needs TX == r * SX exactly), so
+    the strip degenerates to the whole neighbor tile width."""
+    return 128 if TX % 128 == 0 else TX
+
+
+def _pad_y(ny: int) -> int:
+    """Rows of internal padding that make the sublane tiling legal:
+    0 when ny is already a multiple of 8, else up to 7 solid rows
+    (the padded state rides the masked-kernel machinery; the true north/
+    south boundary fluxes arrive as delta strips at their global rows)."""
+    return (-ny) % 8
+
+
+def fused_shape_ok(ny: int, nx: int) -> bool:
+    """Can (ny, nx) ride the fused kernels on one chip?  Always true except
+    for huge lane-ragged widths, where the mandatory full-width tile would
+    blow VMEM (ragged nx cannot be sub-blocked)."""
+    if nx % 128 == 0 or _pick_tx(nx) != nx:
+        return True
+    return -(-nx // 128) * 128 <= 1024
+
+
 def _cmm(op, slabs):
     """Static-unrolled sparse matmul over VMEM slabs.
 
@@ -159,7 +194,7 @@ def volume_residual(lift, u):
 
 
 def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
-                  collocated=True, Q=None):
+                  collocated=True, Q=None, ny_true=None, nx_true=None):
     from dflo_tpu.physics.fluxes import get_flux
     num_flux = get_flux(flux_name, kernel_safe=True)
     refs = list(refs)
@@ -352,25 +387,25 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
     # one-hot masked adds: .at[].add lowers to scatter-add, which Mosaic
     # does not implement — a broadcasted where against an iota does the
     # same column/row-targeted update as dense VPU ops
+    # strip targets by GLOBAL row/column index: the true domain edge can sit
+    # mid-tile when the state carries internal pad rows (ny % 8 != 0)
+    gxe = (nx_true if nx_true is not None else n_j * tx) - 1
+    gyn = (ny_true if ny_true is not None else n_i * ty) - 1
     if not per_x:
         # W/E strips ride as [ny, 4, nq] so the tile-blocked dim is first
         # (the last two dims must be whole, per the TPU block rules)
         dfw = jnp.moveaxis(dfw_ref[:], 0, -1)           # [4, nq, ty]
         dfe = jnp.moveaxis(dfe_ref[:], 0, -1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tx), 3)
-        Fw_all = Fw_all + jnp.where((j == 0) & (col == 0),
-                                    dfw[..., None], 0.0)
-        Fe_all = Fe_all + jnp.where((j == n_j - 1) & (col == tx - 1),
-                                    dfe[..., None], 0.0)
+        gcol = j * tx + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tx), 3)
+        Fw_all = Fw_all + jnp.where(gcol == 0, dfw[..., None], 0.0)
+        Fe_all = Fe_all + jnp.where(gcol == gxe, dfe[..., None], 0.0)
     if not per_y:
-        # first/last row-tile owns the domain's bottom/top row
+        # the tile owning the domain's true bottom/top row applies the strip
         dfs = dfs_ref[:]                                # [4, nq, tx]
         dfn = dfn_ref[:]
-        row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
-        Fs_all = Fs_all + jnp.where((i == 0) & (row == 0),
-                                    dfs[:, :, None, :], 0.0)
-        Fn_all = Fn_all + jnp.where((i == n_i - 1) & (row == ty - 1),
-                                    dfn[:, :, None, :], 0.0)
+        grow = i * ty + jax.lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
+        Fs_all = Fs_all + jnp.where(grow == 0, dfs[:, :, None, :], 0.0)
+        Fn_all = Fn_all + jnp.where(grow == gyn, dfn[:, :, None, :], 0.0)
 
     # ---- all lifts in ONE sparse-unrolled pass -------------------------
     # lift_all = [dy*GxW.T | dx*GyW.T | +W | -E | +S | -N face lifts], all
@@ -394,6 +429,11 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
         out_ref[:] = R
 
 
+#: benign state for internal pad rows (positive rho/p so flux evaluations
+#: on pad cells stay finite; the pad residual is mask-zeroed and sliced off)
+_PAD_STATE = (0.0, 0.0, 1.0, 2.5)
+
+
 def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                         per_y: bool, dtype=jnp.float32, mask=None):
     """Build fused(u, dfw, dfe, dfs, dfn) -> M^{-1} R(u) for any
@@ -404,7 +444,16 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
 
     The mass solve and area scaling are folded into the lift constants:
     rows of every lift operator are pre-multiplied by minv/area, so the
-    kernel's single output IS du/dt's interior part."""
+    kernel's single output IS du/dt's interior part.
+
+    Shapes need NOT be tile-aligned: a ragged nx becomes one full-width lane
+    tile (Mosaic pads lanes internally), and a ragged ny gains up to 7
+    internal solid pad rows (ny -> ceil8) that ride the masked-kernel
+    machinery — the kernel then computes wall-mirror fluxes at the true
+    north/south edges and the caller's delta strips (targeted by GLOBAL row
+    index) correct them to the true boundary/periodic fluxes.  The returned
+    function exposes `.pad_y` so the strip builder can match the wrap-flux
+    semantics."""
     K, nq = basis.K, basis.nq
     collocated = basis.is_nodal_collocated
     Q = len(basis.wq2)
@@ -429,22 +478,44 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     }
     if not collocated:
         ops["V"] = np.asarray(basis.V, np.float64)
-    masked = mask is not None
-    fmask = (jnp.asarray(np.asarray(mask, np.float32), dtype)
-             if masked else None)
+    ny_true, nx_true = mesh.ny, mesh.nx
+    pad_y = _pad_y(ny_true)
+    # internal pad rows are solid cells: the masked machinery gives the true
+    # edge rows wall-mirror wrap fluxes, which the global-row-targeted delta
+    # strips correct; y-periodicity then ALWAYS goes through the strips
+    per_y_kernel = per_y and pad_y == 0
+    masked = mask is not None or pad_y > 0
+    if masked:
+        m_np = (np.ones((ny_true, nx_true), bool) if mask is None
+                else np.asarray(mask, bool))
+        if pad_y:
+            m_np = np.concatenate(
+                [m_np, np.zeros((pad_y, nx_true), bool)], axis=0)
+        fmask = jnp.asarray(np.asarray(m_np, np.float32), dtype)
+    else:
+        fmask = None
+    # DoF coefficients of the constant pad state in THIS basis (all-nodes
+    # value for nodal bases, mode-0-only for modal Legendre)
+    _ones_c = np.linalg.lstsq(np.asarray(basis.V, float),
+                              np.ones(np.asarray(basis.V).shape[0]),
+                              rcond=None)[0]
+    pad_coeff = jnp.asarray(
+        np.asarray(_PAD_STATE, float)[:, None] * _ones_c[None, :], dtype)
 
     @functools.partial(jax.jit,
                        static_argnames=("interpret", "blend"))
     def fused(u, dfw, dfe, dfs, dfn, u_old=None, scalars=None,
               interpret=False, blend=False):
+        if pad_y:
+            c_, k_, _, nx_ = u.shape
+            pad = jnp.broadcast_to(pad_coeff[:, :, None, None],
+                                   (c_, k_, pad_y, nx_))
+            u = jnp.concatenate([u, pad], axis=2)
+            if u_old is not None:
+                u_old = jnp.concatenate([u_old, pad], axis=2)
         c, k, ny, nx = u.shape
         TY = _pick_ty(ny)
-        # lanes: largest 128-multiple divisor of nx up to 512, else full nx
-        TX = nx
-        for cand in (512, 384, 256, 128):
-            if nx % cand == 0:
-                TX = cand
-                break
+        TX = _pick_tx(nx)
         ni, nj = ny // TY, nx // TX
         spec_u = pl.BlockSpec((c, k, TY, TX), lambda i, j: (0, 0, i, j),
                               memory_space=pltpu.VMEM)
@@ -456,7 +527,7 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
         # side array (Mosaic forbids 1-sublane blocks of u itself; the
         # gather costs 2/TY state reads+writes in XLA and keys the strip by
         # tile index so the kernel block is a legal [1, c, 1, k, TX])
-        SX = min(TX, 128)
+        SX = _strip_sx(TX)
         r = TX // SX
         u5 = u.reshape(c, k, ni, TY, nx)
         rows_first = jnp.transpose(u5[:, :, :, 0, :], (2, 0, 1, 3))[:, :, None]
@@ -507,23 +578,33 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                                   memory_space=pltpu.VMEM),
                      pl.BlockSpec((4, nq, TX), lambda i, j: (0, 0, j),
                                   memory_space=pltpu.VMEM)]
-        args += [jnp.moveaxis(dfw, -1, 0), jnp.moveaxis(dfe, -1, 0), dfs, dfn]
+        dfw_r = jnp.moveaxis(dfw, -1, 0)          # [ny_true, 4, nq]
+        dfe_r = jnp.moveaxis(dfe, -1, 0)
+        if pad_y:
+            zrow = jnp.zeros((pad_y, 4, nq), u.dtype)
+            dfw_r = jnp.concatenate([dfw_r, zrow], axis=0)
+            dfe_r = jnp.concatenate([dfe_r, zrow], axis=0)
+        args += [dfw_r, dfe_r, dfs, dfn]
         if blend:
             in_specs += [spec_u,
                          pl.BlockSpec((2,), lambda i, j: (0,),
                                       memory_space=pltpu.SMEM)]
             args += [u_old, scalars]
-        return pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_fused_kernel, ops=ops, K=K, nq=nq,
                               flux_name=flux_name,
-                              per_x=per_x, per_y=per_y, blend=blend,
-                              masked=masked, collocated=collocated, Q=Q),
+                              per_x=per_x, per_y=per_y_kernel, blend=blend,
+                              masked=masked, collocated=collocated, Q=Q,
+                              # true dims from the CALL shape (the sharded
+                              # path hands per-device local blocks)
+                              ny_true=ny - pad_y, nx_true=nx),
             out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
             grid=(ni, nj),
             in_specs=in_specs,
             out_specs=spec_u,
             interpret=interpret,
         )(*args)
+        return out[:, :, :ny - pad_y, :] if pad_y else out
 
     def fused_residual(u, dfw, dfe, dfs, dfn, u_old=None, a=None, dt=None):
         """R(u) (mass-solved), or with (u_old, a, dt) the full SSP stage
@@ -534,6 +615,7 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
         return fused(u, dfw, dfe, dfs, dfn, u_old, sc,
                      interpret=_interpret(), blend=True)
 
+    fused_residual.pad_y = pad_y
     return fused_residual
 
 
@@ -556,7 +638,7 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
                     M: float = 0.0, beta: float = 1.0,
                     char_lim: bool = False, pos_lim: bool = True,
                     per_x: bool = False, per_y: bool = False,
-                    dtype=jnp.float32, with_diag: bool = False):
+                    dtype=jnp.float32, with_diag: bool = False, mask=None):
     """Build post(u) -> u_limited, the fused per-stage stabilization chain.
 
     Equivalent (to f32 roundoff) to Solver.post_stage for the supported
@@ -568,6 +650,12 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     speed and fatal-negativity scalars of make_fused_diag — computed from
     the in-kernel cell averages at zero extra HBM cost, so the driver's two
     standalone diagnostic passes per step disappear.
+
+    mask (solid-cell domains, forward_step) and ragged ny (internal solid
+    pad rows) ride a static neighbor-valid flag plane [5, ny, nx] —
+    (W, E, S, N fluid-neighbor flags + self fluid flag) exactly matching
+    stab.limiter.neighbor_valid — instead of the in-kernel edge arithmetic.
+    The caller must NOT combine y-periodicity with a ragged ny.
     """
     from dflo_tpu.physics import euler as _euler
     from dflo_tpu.stab.positivity import EPS, REL_F32, _pos_points
@@ -577,6 +665,28 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     if indicator not in ("density", "energy", "limiter"):
         raise ValueError(f"fused post does not support indicator "
                          f"{indicator!r}")
+    ny_true, nx_true = mesh.ny, mesh.nx
+    pad_y = _pad_y(ny_true)
+    if pad_y and per_y:
+        raise ValueError("fused post cannot combine y-periodicity with a "
+                         "ragged ny (internal pad rows); use the XLA chain")
+    use_flags = mask is not None or pad_y > 0
+    if use_flags:
+        from dflo_tpu.stab.limiter import neighbor_valid
+        vf = np.stack(neighbor_valid((ny_true, nx_true), per_x, per_y,
+                                     mask), axis=0).astype(np.float64)
+        m_self = (np.ones((ny_true, nx_true)) if mask is None
+                  else np.asarray(mask, np.float64))
+        vf = np.concatenate([vf, m_self[None]], axis=0)       # [5, ny, nx]
+        if pad_y:
+            vf = np.concatenate(
+                [vf, np.zeros((5, pad_y, nx_true))], axis=1)
+        vflags = jnp.asarray(vf, dtype)
+        _ones_c = np.linalg.lstsq(np.asarray(basis.V, float),
+                                  np.ones(np.asarray(basis.V).shape[0]),
+                                  rcond=None)[0]
+        pad_coeff = jnp.asarray(
+            np.asarray(_PAD_STATE, float)[:, None] * _ones_c[None, :], dtype)
     p = basis.degree
     K, nq = basis.K, basis.nq
     dx, dy = mesh.dx, mesh.dy
@@ -603,11 +713,13 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     fVw_np = [np.asarray(basis.wq[:, None] * basis.faceV[f], np.float64)
               for f in range(4)]                    # wq-weighted face traces
 
-    def kernel(u_ref, up_ref, dn_ref, lf_ref, rt_ref, *out_refs):
+    def kernel(u_ref, up_ref, dn_ref, lf_ref, rt_ref, *rest):
+        if use_flags:
+            vf_ref, rest = rest[0], rest[1:]
         if with_diag:
-            out_ref, lam_ref, minq_ref = out_refs
+            out_ref, lam_ref, minq_ref = rest
         else:
-            (out_ref,) = out_refs
+            (out_ref,) = rest
         i = pl.program_id(0)
         j = pl.program_id(1)
         n_i = pl.num_programs(0)
@@ -664,16 +776,22 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         ub_S = patch_dn(ub, up_avg, row2)
         ub_N = patch_up(ub, dn_avg, row2)
 
-        # neighbor-exists flags (global edges unless periodic)
-        one = jnp.ones((1, ty, tx), f32)
-        vW = one if per_x else \
-            jnp.where((j == 0) & (col2 == 0), 0.0, one)
-        vE = one if per_x else \
-            jnp.where((j == n_j - 1) & (col2 == tx - 1), 0.0, one)
-        vS = one if per_y else \
-            jnp.where((i == 0) & (row2 == 0), 0.0, one)
-        vN = one if per_y else \
-            jnp.where((i == n_i - 1) & (row2 == ty - 1), 0.0, one)
+        # neighbor-exists flags: static mask/pad-aware plane when present
+        # (matches stab.limiter.neighbor_valid), else global-edge arithmetic
+        if use_flags:
+            vfl = vf_ref[:]
+            vW, vE, vS, vN = vfl[0:1], vfl[1:2], vfl[2:3], vfl[3:4]
+            m_self = vfl[4]
+        else:
+            one = jnp.ones((1, ty, tx), f32)
+            vW = one if per_x else \
+                jnp.where((j == 0) & (col2 == 0), 0.0, one)
+            vE = one if per_x else \
+                jnp.where((j == n_j - 1) & (col2 == tx - 1), 0.0, one)
+            vS = one if per_y else \
+                jnp.where((i == 0) & (row2 == 0), 0.0, one)
+            vN = one if per_y else \
+                jnp.where((i == n_i - 1) & (row2 == ty - 1), 0.0, one)
 
         # ---- KXRCF shock indicator (src/indicator.cc:48-198) -----------
         if mark_all:
@@ -827,6 +945,12 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
             vxa = jnp.abs(ub[euler.MX] / rho_d)
             vya = jnp.abs(ub[euler.MY] / rho_d)
             lam = (cs + vxa) / h + (cs + vya) / h
+            if use_flags:
+                # solid/pad cells contribute neither wave speed nor the
+                # fatal-negativity min (negative_average_flag's mask arg)
+                lam = jnp.where(m_self > 0.5, lam, 0.0)
+                rho_d = jnp.where(m_self > 0.5, rho_d, jnp.inf)
+                pre_d = jnp.where(m_self > 0.5, pre_d, jnp.inf)
             lam_ref[:] = jnp.full((8, 128), jnp.max(lam), f32)
             minq_ref[:] = jnp.full((8, 128),
                                    jnp.minimum(jnp.min(rho_d),
@@ -834,22 +958,23 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
 
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def call(u, interpret=False):
+        if pad_y:
+            c_, k_, _, nx_ = u.shape
+            pad = jnp.broadcast_to(pad_coeff[:, :, None, None],
+                                   (c_, k_, pad_y, nx_))
+            u = jnp.concatenate([u, pad], axis=2)
         c, k, ny, nx = u.shape
         # Mosaic block rule: the last two block dims must be multiples of
         # (8, 128) or equal to the full array dims
         TY = _pick_ty(ny)
-        TX = nx
-        for cand in (512, 384, 256, 128):
-            if nx % cand == 0:
-                TX = cand
-                break
+        TX = _pick_tx(nx)
         ni, nj = ny // TY, nx // TX
         spec_u = pl.BlockSpec((c, k, TY, TX), lambda i, j: (0, 0, i, j),
                               memory_space=pltpu.VMEM)
         # halo STRIPS (see make_fused_residual): one row of the
         # row-gathered side arrays / 128-lane edge block of each neighbor
         # instead of the whole tile
-        SX = min(TX, 128)
+        SX = _strip_sx(TX)
         r = TX // SX
         u5 = u.reshape(c, k, ni, TY, nx)
         rows_first = jnp.transpose(u5[:, :, :, 0, :], (2, 0, 1, 3))[:, :, None]
@@ -868,6 +993,12 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         spec_rt = pl.BlockSpec((c, k, TY, SX),
                                lambda i, j: (0, 0, i, ((j + 1) % nj) * r),
                                memory_space=pltpu.VMEM)
+        in_specs = [spec_u, spec_up, spec_dn, spec_lf, spec_rt]
+        args = [u, rows_last, rows_first, u, u]
+        if use_flags:
+            in_specs.append(pl.BlockSpec((5, TY, TX), lambda i, j: (0, i, j),
+                                         memory_space=pltpu.VMEM))
+            args.append(vflags)
         out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
         out_specs = spec_u
         if with_diag:
@@ -880,14 +1011,16 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
             kernel,
             out_shape=out_shape,
             grid=(ni, nj),
-            in_specs=[spec_u, spec_up, spec_dn, spec_lf, spec_rt],
+            in_specs=in_specs,
             out_specs=out_specs,
             interpret=interpret,
-        )(u, rows_last, rows_first, u, u)
+        )(*args)
         if with_diag:
             u1, lam, minq = out
+            if pad_y:
+                u1 = u1[:, :, :ny - pad_y, :]
             return u1, jnp.max(lam), jnp.min(minq)
-        return out
+        return out[:, :, :ny - pad_y, :] if pad_y else out
 
     def fused_post(u):
         return call(u, interpret=_interpret())
@@ -904,15 +1037,37 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
 # ---------------------------------------------------------------------------
 
 
-def make_fused_diag(basis, mesh, dtype=jnp.float32):
+def make_fused_diag(basis, mesh, dtype=jnp.float32, mask=None):
     """Build diag(u) -> (lam_max, min_rho_p): the global max of
     (c+|vx|)/h + (c+|vy|)/h over cell averages, and the global min of
-    density/pressure averages (for the fatal-negativity flag)."""
+    density/pressure averages (for the fatal-negativity flag).  Solid cells
+    of a masked domain (and internal pad rows for ragged ny) are excluded
+    from both reductions, matching rk.compute_dt(mask=...) and
+    positivity.negative_average_flag(mask=...)."""
     K = basis.K
     avg_np = (basis.wq2 @ basis.V)[None]            # [1, K]
     h = mesh.diameter_h
+    ny_true, nx_true = mesh.ny, mesh.nx
+    pad_y = _pad_y(ny_true)
+    use_mask = mask is not None or pad_y > 0
+    if use_mask:
+        m_np = (np.ones((ny_true, nx_true), bool) if mask is None
+                else np.asarray(mask, bool))
+        if pad_y:
+            m_np = np.concatenate(
+                [m_np, np.zeros((pad_y, nx_true), bool)], axis=0)
+        fmask = jnp.asarray(np.asarray(m_np, np.float64), dtype)
+        _ones_c = np.linalg.lstsq(np.asarray(basis.V, float),
+                                  np.ones(np.asarray(basis.V).shape[0]),
+                                  rcond=None)[0]
+        pad_coeff = jnp.asarray(
+            np.asarray(_PAD_STATE, float)[:, None] * _ones_c[None, :], dtype)
 
-    def kernel(u_ref, lam_ref, minq_ref):
+    def kernel(*refs):
+        if use_mask:
+            u_ref, m_ref, lam_ref, minq_ref = refs
+        else:
+            u_ref, lam_ref, minq_ref = refs
         W = u_ref[:]
         c, k, ty, tx = W.shape
         f32 = W.dtype
@@ -925,6 +1080,11 @@ def make_fused_diag(basis, mesh, dtype=jnp.float32):
         vx = jnp.abs(ub[euler.MX] / rho)
         vy = jnp.abs(ub[euler.MY] / rho)
         lam = (cs + vx) / h + (cs + vy) / h
+        if use_mask:
+            m_c = m_ref[:]
+            lam = jnp.where(m_c > 0.5, lam, 0.0)
+            rho = jnp.where(m_c > 0.5, rho, jnp.inf)
+            pre = jnp.where(m_c > 0.5, pre, jnp.inf)
         # each program owns one (8,128) block (the minimum TPU tile);
         # broadcast the tile scalar across it
         lam_ref[:] = jnp.full((8, 128), jnp.max(lam), f32)
@@ -933,30 +1093,37 @@ def make_fused_diag(basis, mesh, dtype=jnp.float32):
 
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def call(u, interpret=False):
+        if pad_y:
+            c_, k_, _, nx_ = u.shape
+            pad = jnp.broadcast_to(pad_coeff[:, :, None, None],
+                                   (c_, k_, pad_y, nx_))
+            u = jnp.concatenate([u, pad], axis=2)
         c, k, ny, nx = u.shape
         # Mosaic block rule: the last two block dims must be multiples of
         # (8, 128) or equal to the full array dims
         TY = _pick_ty(ny)
-        TX = nx
-        for cand in (512, 384, 256, 128):
-            if nx % cand == 0:
-                TX = cand
-                break
+        TX = _pick_tx(nx)
         ni, nj = ny // TY, nx // TX
+        in_specs = [pl.BlockSpec((c, k, TY, TX),
+                                 lambda i, j: (0, 0, i, j),
+                                 memory_space=pltpu.VMEM)]
+        args = [u]
+        if use_mask:
+            in_specs.append(pl.BlockSpec((TY, TX), lambda i, j: (i, j),
+                                         memory_space=pltpu.VMEM))
+            args.append(fmask)
         lam, minq = pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((ni * 8, nj * 128), u.dtype),
                        jax.ShapeDtypeStruct((ni * 8, nj * 128), u.dtype)],
             grid=(ni, nj),
-            in_specs=[pl.BlockSpec((c, k, TY, TX),
-                                   lambda i, j: (0, 0, i, j),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=in_specs,
             out_specs=[pl.BlockSpec((8, 128), lambda i, j: (i, j),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((8, 128), lambda i, j: (i, j),
                                     memory_space=pltpu.VMEM)],
             interpret=interpret,
-        )(u)
+        )(*args)
         return jnp.max(lam), jnp.min(minq)
 
     def diag(u):
@@ -1070,13 +1237,24 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
 
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def call(u, deg=None, interpret=False):
+        c, k, ny0, nx0 = u.shape
+        # element-local op: ragged ny pads with benign constant rows (mode 0
+        # only) so the sublane tiling stays legal, sliced off on return
+        pad_y = _pad_y(ny0)
+        if pad_y:
+            e0 = np.zeros(k)
+            e0[0] = 1.0 / avg0
+            padc = jnp.asarray(np.asarray(_PAD_STATE, float)[:, None]
+                               * e0[None, :], u.dtype)
+            u = jnp.concatenate(
+                [u, jnp.broadcast_to(padc[:, :, None, None],
+                                     (c, k, pad_y, nx0))], axis=2)
+            if deg is not None:
+                deg = jnp.concatenate(
+                    [deg, jnp.zeros((pad_y, nx0), deg.dtype)], axis=0)
         c, k, ny, nx = u.shape
         TY = _pick_ty(ny)
-        TX = nx
-        for cand in (512, 384, 256, 128):
-            if nx % cand == 0:
-                TX = cand
-                break
+        TX = _pick_tx(nx)
         ni, nj = ny // TY, nx // TX
         spec_u = pl.BlockSpec((c, k, TY, TX), lambda i, j: (0, 0, i, j),
                               memory_space=pltpu.VMEM)
@@ -1086,7 +1264,7 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
             in_specs.append(pl.BlockSpec((TY, TX), lambda i, j: (i, j),
                                          memory_space=pltpu.VMEM))
             args.append(deg)
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
             grid=(ni, nj),
@@ -1094,6 +1272,7 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
             out_specs=spec_u,
             interpret=interpret,
         )(*args)
+        return out[:, :, :ny0, :] if pad_y else out
 
     if with_trunc:
         return lambda u, deg: call(u, deg, interpret=_interpret())

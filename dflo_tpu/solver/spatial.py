@@ -421,6 +421,10 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         from dflo_tpu.ops.pallas_kernels import make_fused_residual
         fused_res = make_fused_residual(basis, mesh, flux, per_x, per_y,
                                         dtype, mask=mask)
+        # ragged ny: the kernel carries internal solid pad rows, so its
+        # wrap flux at BOTH true y edges is the slip-wall mirror flux and
+        # the delta strips must correct it — even for globally periodic y
+        pad_y = fused_res.pad_y
         avg_vec = cast(basis.wq2 @ basis.V)     # [K] mean weights
         if mask is not None:
             # wrap-interface wall masks: the kernel applies slip-mirror
@@ -457,7 +461,7 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 Fwrap = num_flux(FL, FR, 1.0, 0.0, AL=AL_, AR=AR_)
                 dfw = -boundary_flux("W", uW0, ub0, t) - Fwrap
                 dfe = boundary_flux("E", uEl, ubl, t) - Fwrap
-            if per_y:
+            if per_y and not pad_y:
                 dfs = dfn = jnp.zeros((4, nq, nx_), u.dtype)
             else:
                 r0, rl = u[:, :, 0], u[:, :, -1]
@@ -467,13 +471,32 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 ubl = jnp.einsum("k,ckx->cx", avg_vec, rl, precision=PRECISION)
                 A0 = jnp.broadcast_to(ub0[:, None], uS0.shape)
                 Al = jnp.broadcast_to(ubl[:, None], uNl.shape)
-                FL, FR, AL_, AR_ = uNl, uS0, Al, A0
-                if mask is not None:
-                    FL, FR, AL_, AR_ = _wallfix(FL, FR, AL_, AR_,
-                                                myl, myr, _mirror_y)
-                Fwrap = num_flux(FL, FR, 0.0, 1.0, AL=AL_, AR=AR_)
-                dfs = -boundary_flux("S", uS0, ub0, t) - Fwrap
-                dfn = boundary_flux("N", uNl, ubl, t) - Fwrap
+                if pad_y:
+                    # kernel-side wrap = slip-wall mirror against the solid
+                    # pad rows, independently at each true edge
+                    Fwrap_s = num_flux(_mirror_y(uS0), uS0, 0.0, 1.0,
+                                       AL=_mirror_y(A0), AR=A0)
+                    Fwrap_n = num_flux(uNl, _mirror_y(uNl), 0.0, 1.0,
+                                       AL=Al, AR=_mirror_y(Al))
+                else:
+                    FL, FR, AL_, AR_ = uNl, uS0, Al, A0
+                    if mask is not None:
+                        FL, FR, AL_, AR_ = _wallfix(FL, FR, AL_, AR_,
+                                                    myl, myr, _mirror_y)
+                    Fwrap_s = Fwrap_n = num_flux(FL, FR, 0.0, 1.0,
+                                                 AL=AL_, AR=AR_)
+                if per_y:
+                    # true periodic wrap flux between the true edge rows
+                    FL, FR, AL_, AR_ = uNl, uS0, Al, A0
+                    if mask is not None:
+                        FL, FR, AL_, AR_ = _wallfix(FL, FR, AL_, AR_,
+                                                    myl, myr, _mirror_y)
+                    Ftrue = num_flux(FL, FR, 0.0, 1.0, AL=AL_, AR=AR_)
+                    dfs = Ftrue - Fwrap_s
+                    dfn = Ftrue - Fwrap_n
+                else:
+                    dfs = -boundary_flux("S", uS0, ub0, t) - Fwrap_s
+                    dfn = boundary_flux("N", uNl, ubl, t) - Fwrap_n
             return dfw, dfe, dfs, dfn
 
         def rhs_fused(u: Array, t) -> Array:

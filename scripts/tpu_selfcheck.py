@@ -126,6 +126,69 @@ def main():
     check("diag lam", rel(lam, lam_ref), 1e-6)
     check("diag minq", rel(minq, minq_ref), 1e-6)
 
+    print("6. ragged shapes (shipped reference resolutions, internal pads)")
+    # sod's 100x10 and DMR's 401x100 are NOT tile-aligned: ragged nx rides
+    # one full-width lane tile, ragged ny gains internal solid pad rows
+    for rnx, rny in ((100, 10), (401, 100)):
+        rmesh = CartesianMesh(rnx, rny, 0.0, 4.0, 0.0, 1.0)
+        for fam in ("Qk", "Pk"):
+            rb = make_basis(fam, 2)
+            ru = ic.set_initial_condition(rb, rmesh, dmr_ic)
+            rx_ = make_rhs(rb, rmesh, bcs, flux="hllc")
+            rf_ = make_rhs(rb, rmesh, bcs, flux="hllc", volume_kernel="fused")
+            check(f"rhs ragged {rnx}x{rny} {fam}",
+                  rel(rf_(ru, 0.0), rx_(ru, 0.0)), 2e-5)
+    rb = make_basis("Qk", 2)
+    rmesh = CartesianMesh(100, 20, 0.0, 4.0, 0.0, 1.0)
+    ru = ic.set_initial_condition(rb, rmesh, dmr_ic)
+    rub = basis_reduce(jnp.asarray(rb.wq2 @ rb.V, ru.dtype), ru)
+    rshock, _ = make_shock_indicator(rb, rmesh, "density", False, False,
+                                     ru.dtype)(ru, rub, 0.0)
+    rux = make_tvb_limiter(rb, rmesh, M=10.0, char_lim=True,
+                           dtype=ru.dtype)(ru, rub, rshock)
+    rux = make_positivity_limiter(rb, rmesh, ru.dtype)(rux, rub)
+    rfp = make_fused_post(rb, rmesh, indicator="density", M=10.0,
+                          char_lim=True, pos_lim=True, dtype=ru.dtype)
+    check("post chain ragged 100x20", rel(rfp(ru), rux), 2e-5)
+    rlam, rminq = make_fused_diag(rb, rmesh, ru.dtype)(ru)
+    rcs = jnp.sqrt(euler.GAMMA * euler.pressure(rub) / rub[euler.RHO])
+    rvx = jnp.abs(rub[euler.MX] / rub[euler.RHO])
+    rvy = jnp.abs(rub[euler.MY] / rub[euler.RHO])
+    rlam_ref = jnp.max((rcs + rvx) / rmesh.diameter_h
+                       + (rcs + rvy) / rmesh.diameter_h)
+    rminq_ref = jnp.minimum(rub[euler.RHO].min(), euler.pressure(rub).min())
+    check("diag ragged lam", rel(rlam, rlam_ref), 1e-6)
+    check("diag ragged minq", rel(rminq, rminq_ref), 1e-6)
+
+    print("7. masked domain (forward_step-style solid block), compiled")
+    m_np = np.ones((20, 100), bool)
+    m_np[:10, 60:] = False
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 1.4 * 3.0), jnp.zeros_like(x),
+         jnp.full_like(x, 1.4),
+         jnp.full_like(x, 1.0 / (euler.GAMMA - 1.0) + 0.5 * 1.4 * 9.0)])
+    mbcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+                E=BoundarySide(euler.BC_OUTFLOW),
+                S=BoundarySide(euler.BC_SLIP),
+                N=BoundarySide(euler.BC_SLIP))
+    mmesh = CartesianMesh(100, 20, 0.0, 3.0, 0.0, 1.0)
+    mu = ic.set_initial_condition(rb, mmesh, inflow)
+    mx_ = make_rhs(rb, mmesh, mbcs, flux="hllc", mask=m_np)
+    mf_ = make_rhs(rb, mmesh, mbcs, flux="hllc", mask=m_np,
+                   volume_kernel="fused")
+    check("rhs masked+ragged", rel(mf_(mu, 0.0), mx_(mu, 0.0)), 2e-5)
+    mub = basis_reduce(jnp.asarray(rb.wq2 @ rb.V, mu.dtype), mu)
+    mshock, _ = make_shock_indicator(rb, mmesh, "density", False, False,
+                                     mu.dtype, mask=m_np)(mu, mub, 0.0)
+    mux = make_tvb_limiter(rb, mmesh, M=10.0, char_lim=True,
+                           dtype=mu.dtype, mask=m_np)(mu, mub, mshock)
+    mux = make_positivity_limiter(rb, mmesh, mu.dtype)(mux, mub)
+    mfp = make_fused_post(rb, mmesh, indicator="density", M=10.0,
+                          char_lim=True, pos_lim=True, dtype=mu.dtype,
+                          mask=m_np)
+    got = jnp.where(jnp.asarray(m_np)[None, None], mfp(mu), mux)
+    check("post chain masked+ragged", rel(got, mux), 2e-5)
+
     if failures:
         print(f"\nSELF-CHECK FAILED: {failures}")
         sys.exit(1)
