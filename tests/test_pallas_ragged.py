@@ -248,3 +248,31 @@ def test_fused_shape_ok_envelope():
     assert fused_shape_ok(288, 1152)    # bench shapes
     assert fused_shape_ok(100, 100)     # isentropic vortex
     assert not fused_shape_ok(64, 4001)  # huge ragged lane width: VMEM
+
+
+@pytest.mark.parametrize("nx,ny", [(100, 10),    # sod shipped
+                                   (401, 100),   # double_mach shipped
+                                   (100, 100)])  # isentropic vortex
+def test_auto_select_fused_on_shipped_resolutions(monkeypatch, nx, ny):
+    """On a TPU, Solver(volume_kernel='auto') must pick the fused kernels
+    for the shipped (non-tile-aligned) reference resolutions.  The platform
+    probe is monkeypatched; kernel CONSTRUCTION is lazy, so nothing actually
+    compiles for TPU here."""
+    import types
+
+    import dflo_tpu.driver as driver_mod
+
+    monkeypatch.setattr(
+        driver_mod.jax, "devices",
+        lambda *a, **k: [types.SimpleNamespace(platform="tpu")])
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(nx, ny, 0.0, 4.0, 0.0, 1.0)
+    lim = LimiterConfig(type="TVB", shock_indicator="density", M=0.0,
+                        char_lim=True, pos_lim=True)
+    s = Solver(basis, mesh, _dmr_bcs(), flux="hllc", limiter=lim)
+    assert hasattr(s.rhs, "stage"), "fused residual not auto-selected"
+    assert s._fused_post is not None, "fused post not auto-selected"
+    # too-wide ragged lane dim must fall back (VMEM envelope)
+    mesh_bad = CartesianMesh(4001, 64, 0.0, 4.0, 0.0, 1.0)
+    s2 = Solver(basis, mesh_bad, _dmr_bcs(), flux="hllc", limiter=lim)
+    assert not hasattr(s2.rhs, "stage")
