@@ -55,16 +55,18 @@ class NewtonInfo(NamedTuple):
     diverged: jax.Array   # bool: non-finite or res > 1e6 * res0
 
 
-def make_block_jacobi(F: Callable, u, n_comp: int = 4):
+def make_block_jacobi(f_lin: Callable, u, n_comp: int = 4):
     """Per-cell block-Jacobi preconditioner for the Newton system.
 
     Replaces the reference's BlockSSOR/ILUT preconditioning of the assembled
     Trilinos matrix (src/claw.cc:666-691): the exact per-cell diagonal block
-    of dF/du is extracted with n_comp*K jvp evaluations — one per LOCAL DoF
-    index, seeding that index in EVERY cell simultaneously; by locality of
-    the DG operator, the response within each cell is exactly its diagonal
-    block (cross-cell responses land in off-diagonal blocks we discard).
-    Returns Minv(v) applying the batched dense block inverses.
+    of dF/du is extracted with n_comp*K applications of the LINEARIZED
+    operator `f_lin` (the jax.linearize of F at the current iterate, so the
+    nonlinear primal is evaluated once, not once per probe column) — one per
+    LOCAL DoF index, seeding that index in EVERY cell simultaneously; by
+    locality of the DG operator, the response within each cell is exactly
+    its diagonal block (cross-cell responses land in off-diagonal blocks we
+    discard).  Returns Minv(v) applying the batched dense block inverses.
 
     Layout-agnostic: u is [c, K, *spatial] — (c, K, ny, nx) on the
     structured paths, (c, K, N) on the unstructured flat-cell path."""
@@ -75,7 +77,7 @@ def make_block_jacobi(F: Callable, u, n_comp: int = 4):
     def column(kk):
         tang = jnp.zeros((n,), u.dtype).at[kk].set(1.0)
         tang = jnp.broadcast_to(tang.reshape(c, K, *([1] * len(sp))), u.shape)
-        return jax.jvp(F, (u,), (tang,))[1]          # [c, K, *sp]
+        return f_lin(tang)                           # [c, K, *sp]
 
     cols = jax.lax.map(column, jnp.arange(n))        # [n(col), c, K, *sp]
     J = cols.reshape(n, n, -1)                       # [n(col), n(row), M]
