@@ -103,7 +103,17 @@ class Solver:
                 # solid pad rows) except huge lane-ragged widths
                 tiles_ok = fused_shape_ok(mesh.ny, mesh.nx)
             vol_ok = (on_tpu and not self.curvilinear
-                      and source is None and well_balanced is None
+                      # body forces ride the fused kernel everywhere: the
+                      # in-kernel quadrature-point source (pallas_kernels
+                      # ops['src']) takes device-local coordinate slices
+                      # under a device mesh
+                      # isothermal well-balanced gravity rides the
+                      # single-chip kernel (in-kernel exp(-phi/RT) source);
+                      # polytropic falls back to XLA
+                      and (well_balanced is None
+                           or (well_balanced == "isothermal"
+                               and device_mesh is None
+                               and basis.is_nodal_collocated))
                       and mass_matrix == "diagonal"
                       and basis.degree >= 1
                       # the implicit path differentiates rhs with jax.jvp;

@@ -194,7 +194,8 @@ def volume_residual(lift, u):
 
 
 def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
-                  collocated=True, Q=None, ny_true=None, nx_true=None):
+                  collocated=True, Q=None, ny_true=None, nx_true=None,
+                  source=None, wb_iso=False, inv_dx=None, inv_dy=None):
     from dflo_tpu.physics.fluxes import get_flux
     num_flux = get_flux(flux_name, kernel_safe=True)
     refs = list(refs)
@@ -204,6 +205,16 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
         # residuals are zeroed (mirrors the XLA path's wallx/wally logic)
         m_ref, m_up_ref, m_dn_ref, m_lf_ref, m_rt_ref = refs[5:10]
         del refs[5:10]
+    if source is not None:
+        # body-force inputs: quadrature-point coordinate tiles + the time
+        # scalar (src/equation.h:829-850 gravity / src_mpi external force)
+        xq_ref, yq_ref, t_ref = refs[9:12]
+        del refs[9:12]
+    elif wb_iso:
+        # well-balanced isothermal gravity: the nodal potential plane
+        # (src_gll/assemble_explicit.cc:30-135)
+        phi_ref = refs[9]
+        del refs[9:10]
     if blend:
         # extra inputs: the previous-step state tile + [a, dt] scalars;
         # the kernel then emits the complete SSP stage
@@ -265,33 +276,42 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
     dn_uS_first, dn_ub_first = row_trace(dn_ref, 2)
     lf_uE, lf_ub = col_trace(lf_ref, 1, last=True)         # [c,nq,ty,1]
     rt_uW, rt_ub = col_trace(rt_ref, 0, last=False)
-    rowq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
-    colq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tx), 3)
-    row2 = rowq[:, 0]
-    col2 = colq[:, 0]
+    # halo shifts as roll + iota-select: measured FASTER under Mosaic than
+    # the "obvious" concat+slice single-op form (bench r3: concat cost ~4%
+    # RK / ~5% MOOD — lane-axis concatenation lowers to a worse shuffle
+    # sequence than roll + where)
+    def _edge_iota(ndim, axis_len, axis_from_end):
+        shape = [1] * ndim
+        shape[ndim - axis_from_end] = axis_len
+        return jax.lax.broadcasted_iota(jnp.int32, tuple(shape),
+                                        ndim - axis_from_end)
 
-    def patch_first_row(a, patch, iota):
+    def patch_first_row(a, patch):
         """a[..., r, :] -> a[..., r-1, :] with row 0 from the halo patch."""
-        return jnp.where(iota == 0, patch, jnp.roll(a, 1, axis=-2))
+        return jnp.where(_edge_iota(a.ndim, ty, 2) == 0, patch,
+                         jnp.roll(a, 1, axis=-2))
 
-    def patch_last_row(a, patch, iota):
-        return jnp.where(iota == ty - 1, patch, jnp.roll(a, -1, axis=-2))
+    def patch_last_row(a, patch):
+        return jnp.where(_edge_iota(a.ndim, ty, 2) == ty - 1, patch,
+                         jnp.roll(a, -1, axis=-2))
 
-    def shift_cols_right(a, halo_col, iota):
+    def shift_cols_right(a, halo_col):
         """a[..., q] -> a[..., q-1], col 0 from the halo column."""
-        return jnp.where(iota == 0, halo_col, jnp.roll(a, 1, axis=-1))
+        return jnp.where(_edge_iota(a.ndim, tx, 1) == 0, halo_col,
+                         jnp.roll(a, 1, axis=-1))
 
-    def shift_cols_left(a, halo_col, iota):
-        return jnp.where(iota == tx - 1, halo_col, jnp.roll(a, -1, axis=-1))
+    def shift_cols_left(a, halo_col):
+        return jnp.where(_edge_iota(a.ndim, tx, 1) == tx - 1, halo_col,
+                         jnp.roll(a, -1, axis=-1))
 
-    uN_up = patch_first_row(uN, up_uN_last, rowq)
-    ub_up = patch_first_row(ub, up_ub_last, row2)
-    uS_dn = patch_last_row(uS, dn_uS_first, rowq)
-    ub_dn = patch_last_row(ub, dn_ub_first, row2)
-    uE_lf = shift_cols_right(uE, lf_uE, colq)
-    ub_lf = shift_cols_right(ub, lf_ub, col2)
-    uW_rt = shift_cols_left(uW, rt_uW, colq)
-    ub_rt = shift_cols_left(ub, rt_ub, col2)
+    uN_up = patch_first_row(uN, up_uN_last)
+    ub_up = patch_first_row(ub, up_ub_last)
+    uS_dn = patch_last_row(uS, dn_uS_first)
+    ub_dn = patch_last_row(ub, dn_ub_first)
+    uE_lf = shift_cols_right(uE, lf_uE)
+    ub_lf = shift_cols_right(ub, lf_ub)
+    uW_rt = shift_cols_left(uW, rt_uW)
+    ub_rt = shift_cols_left(ub, rt_ub)
 
     # ---- volume flux ---------------------------------------------------
     if collocated:
@@ -336,14 +356,10 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
     if masked:
         m_c = m_ref[:]                              # [ty, tx], fluid = 1
         msx = m_lf_ref.shape[-1]                    # edge strips like u's
-        m_W = jnp.where(colq[0, 0] == 0, m_lf_ref[:, msx - 1:msx],
-                        jnp.roll(m_c, 1, axis=-1))
-        m_E = jnp.where(colq[0, 0] == tx - 1, m_rt_ref[:, 0:1],
-                        jnp.roll(m_c, -1, axis=-1))
-        m_S = jnp.where(rowq[0, 0] == 0, m_up_ref[0],
-                        jnp.roll(m_c, 1, axis=-2))
-        m_N = jnp.where(rowq[0, 0] == ty - 1, m_dn_ref[0],
-                        jnp.roll(m_c, -1, axis=-2))
+        m_W = shift_cols_right(m_c, m_lf_ref[:, msx - 1:msx])
+        m_E = shift_cols_left(m_c, m_rt_ref[:, 0:1])
+        m_S = patch_first_row(m_c, m_up_ref[0])
+        m_N = patch_last_row(m_c, m_dn_ref[0])
 
     # ---- x interfaces ---------------------------------------------------
     # evaluate each interface flux ONCE: the west-face flux of every
@@ -364,7 +380,7 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
             FLe, FRe, ALe, ARe, m_c[:, tx - 1:tx], m_E[:, tx - 1:tx],
             mirror_x)
     Fe_last = num_flux(FLe, FRe, 1.0, 0.0, AL=ALe, AR=ARe)
-    Fe_all = shift_cols_left(Fw_all, Fe_last, colq)
+    Fe_all = shift_cols_left(Fw_all, Fe_last)
 
     # ---- y interfaces ---------------------------------------------------
     A_up = jnp.broadcast_to(ub_up[:, None], uN_up.shape)
@@ -381,7 +397,7 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
             FLn, FRn, ALn, ARn, m_c[ty - 1:ty, :], m_N[ty - 1:ty, :],
             mirror_y)
     Fn_last = num_flux(FLn, FRn, 0.0, 1.0, AL=ALn, AR=ARn)
-    Fn_all = patch_last_row(Fs_all, Fn_last, rowq)
+    Fn_all = patch_last_row(Fs_all, Fn_last)
 
     # ---- boundary corrections (delta fluxes, precomputed outside) ------
     # one-hot masked adds: .at[].add lowers to scatter-add, which Mosaic
@@ -391,6 +407,7 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
     # mid-tile when the state carries internal pad rows (ny % 8 != 0)
     gxe = (nx_true if nx_true is not None else n_j * tx) - 1
     gyn = (ny_true if ny_true is not None else n_i * ty) - 1
+
     if not per_x:
         # W/E strips ride as [ny, 4, nq] so the tile-blocked dim is first
         # (the last two dims must be whole, per the TPU block rules)
@@ -419,6 +436,32 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
              + [Fn_all[:, q] for q in range(nq)])
     R = jnp.stack(_cmm(lift_all, slabs), axis=1)
 
+    if source is not None:
+        # du/dt source contribution: minv . Vw^T S (for a collocated basis
+        # the baked operator is exactly the identity, so this is Q adds)
+        S = source(xq_ref[:], yq_ref[:], t_ref[0], Wv)
+        R = R + jnp.stack(_cmm(ops["src"], [S[:, q] for q in range(nQ)]),
+                          axis=1)
+    elif wb_iso:
+        # well-balanced isothermal source S_m = rho RT / E * grad_h E with
+        # E = exp(-phi/RT), RT from the cell average
+        # (src_gll/assemble_explicit.cc:30-135); requires a collocated
+        # basis, where the mass-solved projection is the identity, so the
+        # nodal source adds straight into du/dt
+        RTb = (euler.GAMMA - 1.0) * (
+            ub[euler.ENE]
+            - 0.5 * (ub[euler.MX] ** 2 + ub[euler.MY] ** 2)
+            / ub[euler.RHO]) / ub[euler.RHO]                  # [ty, tx]
+        Ewb = jnp.exp(-phi_ref[:] / RTb[None])                # [K, ty, tx]
+        Eslabs = [Ewb[kk] for kk in range(K)]
+        dEx = jnp.stack(_cmm(ops["Gxn"], Eslabs)) * inv_dx
+        dEy = jnp.stack(_cmm(ops["Gyn"], Eslabs)) * inv_dy
+        fac = Wv[euler.RHO] * RTb[None] / Ewb
+        Sx = fac * dEx
+        Sy = fac * dEy
+        SE = (Wv[euler.MX] * Sx + Wv[euler.MY] * Sy) / Wv[euler.RHO]
+        R = R + jnp.stack([Sx, Sy, jnp.zeros_like(Sx), SE])
+
     if masked:
         R = R * m_c[None, None]                     # solid cells are frozen
     if blend:
@@ -435,7 +478,8 @@ _PAD_STATE = (0.0, 0.0, 1.0, 2.5)
 
 
 def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
-                        per_y: bool, dtype=jnp.float32, mask=None):
+                        per_y: bool, dtype=jnp.float32, mask=None,
+                        source=None, well_balanced=None, potential=None):
     """Build fused(u, dfw, dfe, dfs, dfn) -> M^{-1} R(u) for any
     diagonal-mass basis on a Cartesian mesh (the bench/production hot path):
     collocated Qk/Qk_gll directly, modal Pk (the MOOD basis,
@@ -480,6 +524,52 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
         ops["V"] = np.asarray(basis.V, np.float64)
     ny_true, nx_true = mesh.ny, mesh.nx
     pad_y = _pad_y(ny_true)
+    if source is not None:
+        # body force (src/equation.h:829-850 / src_mpi/equation.h:1186-1202):
+        # source(x, y, t, W) evaluated at the volume quadrature points inside
+        # the kernel; the mass-solved projection operator minv . (wq2 V)^T is
+        # baked like the lifts (identity for a collocated basis)
+        ops["src"] = ((1.0 / np.asarray(basis.mass, float))[:, None]
+                      * (np.asarray(basis.wq2, float)[None, :]
+                         * np.asarray(basis.V, float).T))
+        QXs, QYs = np.meshgrid(basis.xq, basis.xq, indexing="xy")
+        ref_pts = np.stack([QXs.ravel(), QYs.ravel()], axis=1)
+        xq_np, yq_np = mesh.point_coords(ref_pts)       # [Q, ny, nx]
+        xq_np = np.asarray(xq_np, float)
+        yq_np = np.asarray(yq_np, float)
+        if _pad_y(ny_true):
+            padw = ((0, 0), (0, _pad_y(ny_true)), (0, 0))
+            xq_np = np.pad(xq_np, padw, mode="edge")
+            yq_np = np.pad(yq_np, padw, mode="edge")
+        xq_pl = jnp.asarray(xq_np, dtype)
+        yq_pl = jnp.asarray(yq_np, dtype)
+    wb_iso = well_balanced == "isothermal"
+    if well_balanced is not None and not wb_iso:
+        raise ValueError("the fused kernel supports well_balanced="
+                         "'isothermal' only (polytropic rides the XLA path)")
+    if wb_iso:
+        if not basis.is_nodal_collocated:
+            raise ValueError("fused well-balanced gravity needs a "
+                             "nodal-collocated basis (Qk_gll, "
+                             "src_gll/assemble_explicit.cc:66-72)")
+        if source is not None:
+            raise ValueError("fused kernel: source and well_balanced are "
+                             "mutually exclusive inputs")
+        if potential is None:
+            raise ValueError("well-balanced gravity needs a potential "
+                             "phi(x, y)")
+        ops["Gxn"] = np.asarray(basis.Gx, np.float64)    # nodal derivative
+        ops["Gyn"] = np.asarray(basis.Gy, np.float64)    # matrices (V = I)
+        QXp, QYp = np.meshgrid(basis.xq, basis.xq, indexing="xy")
+        ppts = np.stack([QXp.ravel(), QYp.ravel()], axis=1)
+        xphi, yphi = mesh.point_coords(ppts)
+        phi_np = np.asarray(potential(jnp.asarray(xphi, dtype),
+                                      jnp.asarray(yphi, dtype)))
+        if _pad_y(ny_true):
+            phi_np = np.pad(phi_np,
+                            ((0, 0), (0, _pad_y(ny_true)), (0, 0)),
+                            mode="edge")
+        phi_pl = jnp.asarray(phi_np, dtype)
     # internal pad rows are solid cells: the masked machinery gives the true
     # edge rows wall-mirror wrap fluxes, which the global-row-targeted delta
     # strips correct; y-periodicity then ALWAYS goes through the strips
@@ -504,8 +594,8 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
 
     @functools.partial(jax.jit,
                        static_argnames=("interpret", "blend"))
-    def fused(u, dfw, dfe, dfs, dfn, u_old=None, scalars=None,
-              interpret=False, blend=False):
+    def fused(u, dfw, dfe, dfs, dfn, u_old=None, scalars=None, t=None,
+              xq=None, yq=None, interpret=False, blend=False):
         if pad_y:
             c_, k_, _, nx_ = u.shape
             pad = jnp.broadcast_to(pad_coeff[:, :, None, None],
@@ -585,6 +675,25 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
             dfw_r = jnp.concatenate([dfw_r, zrow], axis=0)
             dfe_r = jnp.concatenate([dfe_r, zrow], axis=0)
         args += [dfw_r, dfe_r, dfs, dfn]
+        if source is not None:
+            # coordinate planes: the builder's global planes, or per-call
+            # overrides (the sharded path passes device-local slices whose
+            # shapes match its local block)
+            xq_a = xq_pl if xq is None else xq
+            yq_a = yq_pl if yq is None else yq
+            Qn = xq_a.shape[0]
+            spec_xy = pl.BlockSpec((Qn, TY, TX), lambda i, j: (0, i, j),
+                                   memory_space=pltpu.VMEM)
+            in_specs += [spec_xy, spec_xy,
+                         pl.BlockSpec((1,), lambda i, j: (0,),
+                                      memory_space=pltpu.SMEM)]
+            t_sc = jnp.zeros((), u.dtype) if t is None else t
+            args += [xq_a, yq_a,
+                     jnp.reshape(jnp.asarray(t_sc, u.dtype), (1,))]
+        elif wb_iso:
+            in_specs += [pl.BlockSpec((K, TY, TX), lambda i, j: (0, i, j),
+                                      memory_space=pltpu.VMEM)]
+            args += [phi_pl]
         if blend:
             in_specs += [spec_u,
                          pl.BlockSpec((2,), lambda i, j: (0,),
@@ -595,6 +704,8 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                               flux_name=flux_name,
                               per_x=per_x, per_y=per_y_kernel, blend=blend,
                               masked=masked, collocated=collocated, Q=Q,
+                              source=source, wb_iso=wb_iso,
+                              inv_dx=1.0 / mesh.dx, inv_dy=1.0 / mesh.dy,
                               # true dims from the CALL shape (the sharded
                               # path hands per-device local blocks)
                               ny_true=ny - pad_y, nx_true=nx),
@@ -606,13 +717,17 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
         )(*args)
         return out[:, :, :ny - pad_y, :] if pad_y else out
 
-    def fused_residual(u, dfw, dfe, dfs, dfn, u_old=None, a=None, dt=None):
+    def fused_residual(u, dfw, dfe, dfs, dfn, u_old=None, a=None, dt=None,
+                       t=None, xq=None, yq=None):
         """R(u) (mass-solved), or with (u_old, a, dt) the full SSP stage
-        a*u_old + (1-a)*(u + dt*R)."""
+        a*u_old + (1-a)*(u + dt*R).  t feeds the in-kernel body force (only
+        consumed when the builder got a source); xq/yq override the
+        coordinate planes with device-local slices on the sharded path."""
         if u_old is None:
-            return fused(u, dfw, dfe, dfs, dfn, interpret=_interpret())
+            return fused(u, dfw, dfe, dfs, dfn, t=t, xq=xq, yq=yq,
+                         interpret=_interpret())
         sc = jnp.stack([jnp.asarray(a, u.dtype), jnp.asarray(dt, u.dtype)])
-        return fused(u, dfw, dfe, dfs, dfn, u_old, sc,
+        return fused(u, dfw, dfe, dfs, dfn, u_old, sc, t=t, xq=xq, yq=yq,
                      interpret=_interpret(), blend=True)
 
     fused_residual.pad_y = pad_y
@@ -753,28 +868,34 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         lf_face, lf_avg = col_trace(lf_ref, 1, last=True)   # E face
         rt_face, rt_avg = col_trace(rt_ref, 0, last=False)  # W face
 
-        rowq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
-        colq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tx), 3)
-        row2 = rowq[:, 0]
-        col2 = colq[:, 0]
+        # halo shifts as roll + iota-select (measured faster under Mosaic
+        # than concat+slice, see _fused_kernel)
+        def _edge_iota(ndim, axis_len, axis_from_end):
+            shape = [1] * ndim
+            shape[ndim - axis_from_end] = axis_len
+            return jax.lax.broadcasted_iota(jnp.int32, tuple(shape),
+                                            ndim - axis_from_end)
 
-        def patch_dn(a, patch, iota):  # value from row above (r-1)
-            return jnp.where(iota == 0, patch, jnp.roll(a, 1, axis=-2))
+        def patch_dn(a, patch):  # value from row above (r-1)
+            return jnp.where(_edge_iota(a.ndim, ty, 2) == 0, patch,
+                             jnp.roll(a, 1, axis=-2))
 
-        def patch_up(a, patch, iota):  # value from row below (r+1)
-            return jnp.where(iota == ty - 1, patch, jnp.roll(a, -1, axis=-2))
+        def patch_up(a, patch):  # value from row below (r+1)
+            return jnp.where(_edge_iota(a.ndim, ty, 2) == ty - 1, patch,
+                             jnp.roll(a, -1, axis=-2))
 
-        def sh_rt(a, halo_col, iota):  # value from column left (c-1)
-            return jnp.where(iota == 0, halo_col, jnp.roll(a, 1, axis=-1))
+        def sh_rt(a, halo_col):  # value from column left (c-1)
+            return jnp.where(_edge_iota(a.ndim, tx, 1) == 0, halo_col,
+                             jnp.roll(a, 1, axis=-1))
 
-        def sh_lf(a, halo_col, iota):  # value from column right (c+1)
-            return jnp.where(iota == tx - 1, halo_col,
+        def sh_lf(a, halo_col):  # value from column right (c+1)
+            return jnp.where(_edge_iota(a.ndim, tx, 1) == tx - 1, halo_col,
                              jnp.roll(a, -1, axis=-1))
 
-        ub_W = sh_rt(ub, lf_avg, col2)              # west-neighbor averages
-        ub_E = sh_lf(ub, rt_avg, col2)
-        ub_S = patch_dn(ub, up_avg, row2)
-        ub_N = patch_up(ub, dn_avg, row2)
+        ub_W = sh_rt(ub, lf_avg)                    # west-neighbor averages
+        ub_E = sh_lf(ub, rt_avg)
+        ub_S = patch_dn(ub, up_avg)
+        ub_N = patch_up(ub, dn_avg)
 
         # neighbor-exists flags: static mask/pad-aware plane when present
         # (matches stab.limiter.neighbor_valid), else global-edge arithmetic
@@ -784,6 +905,8 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
             m_self = vfl[4]
         else:
             one = jnp.ones((1, ty, tx), f32)
+            row2 = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
+            col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tx), 2)
             vW = one if per_x else \
                 jnp.where((j == 0) & (col2 == 0), 0.0, one)
             vE = one if per_x else \
@@ -803,10 +926,10 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
                              for f in range(4))               # [nq, ty, tx]
 
             tW, tE, tS, tN = dtr(W)
-            jW = (tW - sh_rt(tE, lf_face[comp], colq[0])) * vW
-            jE = (tE - sh_lf(tW, rt_face[comp], colq[0])) * vE
-            jS = (tS - patch_dn(tN, up_face[comp], rowq[0])) * vS
-            jN = (tN - patch_up(tS, dn_face[comp], rowq[0])) * vN
+            jW = (tW - sh_rt(tE, lf_face[comp])) * vW
+            jE = (tE - sh_lf(tW, rt_face[comp])) * vE
+            jS = (tS - patch_dn(tN, up_face[comp])) * vS
+            jN = (tN - patch_up(tS, dn_face[comp])) * vN
 
             vx = ub[euler.MX] / ub[euler.RHO]
             vy = ub[euler.MY] / ub[euler.RHO]

@@ -121,10 +121,13 @@ def make_implicit_step(rhs: Callable, theta: float = 1.0,
             return (v - u_old) / dtb - rhs(w, t)
 
         def newton_update(u, Fv, res):
-            def Av(w):
-                return jax.jvp(F, (u,), (w,))[1]
-
-            M = make_block_jacobi(F, u) if precondition == "block_jacobi" \
+            # one linearization point shared by the Krylov operator and the
+            # preconditioner probes (the nonlinear primal is traced once;
+            # make_block_jacobi REQUIRES the linearized operator — seeding
+            # one-hot tangents through the nonlinear F would evaluate F at
+            # a one-hot state, not a Jacobian column)
+            _, Av = jax.linearize(F, u)
+            M = make_block_jacobi(Av, u) if precondition == "block_jacobi" \
                 else None
             # relative linear tolerance lin_tol * ||F|| (src/claw.cc:669-670)
             du, _info = jax.scipy.sparse.linalg.gmres(

@@ -188,12 +188,17 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     if volume_kernel == "pallas" and not collocated:
         raise ValueError("volume_kernel='pallas' needs a collocated basis "
                          "(the fully-fused kernel handles modal bases)")
-    if volume_kernel == "fused" and (source is not None
-                                     or well_balanced is not None
-                                     or mass_matrix != "diagonal"):
-        raise ValueError("volume_kernel='fused' covers the plain hot path "
-                         "(no source/well-balanced/full-mass); use "
-                         "'xla' or 'pallas' for those")
+    if volume_kernel == "fused" and (mass_matrix != "diagonal"
+                                     or well_balanced == "polytropic"):
+        raise ValueError("volume_kernel='fused' covers the diagonal-mass "
+                         "hot path (no polytropic well-balanced/full-mass); "
+                         "use 'xla' or 'pallas' for those")
+    if volume_kernel == "fused" and device_mesh is not None \
+            and well_balanced is not None:
+        raise ValueError("the sharded fused path does not take a "
+                         "well-balanced source (the reference's gravity "
+                         "tree is serial-only, src_gll); use "
+                         "volume_kernel='xla'")
 
     if well_balanced is not None:
         if well_balanced not in ("isothermal", "polytropic"):
@@ -277,7 +282,7 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         # along an axis the ppermute is a self-send and the delta
         # degenerates to exactly zero
         fused_res = make_fused_residual(basis, mesh, flux, False, False,
-                                        dtype, mask=None)
+                                        dtype, mask=None, source=source)
         avg_vec = cast(basis.wq2 @ basis.V)
         from dflo_tpu.parallel.sharding import mesh_grid_shape, mesh_y_axes
         # y may be split over several mesh axes — ('slice', 'dy') on a
@@ -391,12 +396,37 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
 
         spec_u = P(None, None, YAX, XAX)
 
+        if source is not None:
+            # device-local quadrature-coordinate slices for the in-kernel
+            # body force (the builder's planes are global-shaped)
+            QXs, QYs = np.meshgrid(basis.xq, basis.xq, indexing="xy")
+            _ref_pts = np.stack([QXs.ravel(), QYs.ravel()], axis=1)
+            _xq_g, _yq_g = mesh.point_coords(_ref_pts)
+            xq_g, yq_g = cast(_xq_g), cast(_yq_g)       # [Q, ny, nx]
+            Qn = xq_g.shape[0]
+
+            def _local_xy():
+                iy = jax.lax.axis_index(YAX)
+                ix = jax.lax.axis_index(XAX)
+                zero = jnp.zeros((), iy.dtype)
+                xq_l = jax.lax.dynamic_slice(
+                    xq_g, (zero, iy * ly, ix * lx), (Qn, ly, lx))
+                yq_l = jax.lax.dynamic_slice(
+                    yq_g, (zero, iy * ly, ix * lx), (Qn, ly, lx))
+                return xq_l, yq_l
+        else:
+            _local_xy = lambda: (None, None)  # noqa: E731
+
         def _local_rhs(u_loc, t):
-            return fused_res(u_loc, *_local_strips(u_loc, t))
+            xq_l, yq_l = _local_xy()
+            return fused_res(u_loc, *_local_strips(u_loc, t),
+                             t=jnp.asarray(t, dtype), xq=xq_l, yq=yq_l)
 
         def _local_stage(u_loc, uo_loc, t, a, dt):
+            xq_l, yq_l = _local_xy()
             return fused_res(u_loc, *_local_strips(u_loc, t),
-                             u_old=uo_loc, a=a, dt=dt)
+                             u_old=uo_loc, a=a, dt=dt,
+                             t=jnp.asarray(t, dtype), xq=xq_l, yq=yq_l)
 
         rhs_sharded = shard_map(_local_rhs, mesh=device_mesh,
                                 in_specs=(spec_u, P()), out_specs=spec_u,
@@ -420,7 +450,9 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     if volume_kernel == "fused":
         from dflo_tpu.ops.pallas_kernels import make_fused_residual
         fused_res = make_fused_residual(basis, mesh, flux, per_x, per_y,
-                                        dtype, mask=mask)
+                                        dtype, mask=mask, source=source,
+                                        well_balanced=well_balanced,
+                                        potential=potential)
         # ragged ny: the kernel carries internal solid pad rows, so its
         # wrap flux at BOTH true y edges is the slip-wall mirror flux and
         # the delta strips must correct it — even for globally periodic y
@@ -501,13 +533,14 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
 
         def rhs_fused(u: Array, t) -> Array:
             """du/dt via the single fused VMEM kernel."""
-            return fused_res(u, *_strips(u, t))
+            return fused_res(u, *_strips(u, t), t=jnp.asarray(t, u.dtype))
 
         def stage_fused(u: Array, u_old: Array, t, a, dt) -> Array:
             """Full SSP stage a*u_old + (1-a)*(u + dt*du/dt) in one kernel
             pass (the blend axpy of src/claw.cc:757-760 costs no extra HBM
             round trip)."""
-            return fused_res(u, *_strips(u, t), u_old=u_old, a=a, dt=dt)
+            return fused_res(u, *_strips(u, t), u_old=u_old, a=a, dt=dt,
+                             t=jnp.asarray(t, u.dtype))
 
         rhs_fused.stage = stage_fused
         return rhs_fused

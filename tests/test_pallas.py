@@ -315,3 +315,125 @@ def test_mood_stage_rides_fused_kernel():
     assert int(sx.iters) == int(sf.iters)
     rel = float(jnp.abs(cx - cf).max()) / float(jnp.abs(cx).max())
     assert rel < 1e-12, rel
+
+
+def test_fused_residual_with_source_matches_xla():
+    """Body forces ride the fused kernel: the in-kernel quadrature-point
+    source (gravity src/equation.h:829-850; general f(x,y,t) external force
+    src_mpi/equation.h:1186-1202) equals the XLA path's `area * Vw.T S`
+    projection to roundoff — for the collocated Qk basis (where the baked
+    projection operator is the identity) AND the modal Pk basis (dense
+    minv.Vw^T), on periodic and physical BCs."""
+    mesh = CartesianMesh(32, 16, 0.0, 2.0, 0.0, 1.0)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs_per = dict(W=per, E=per, S=per, N=per)
+    bcs_phys = dict(W=BoundarySide(euler.BC_SLIP),
+                    E=BoundarySide(euler.BC_SLIP),
+                    S=BoundarySide(euler.BC_SLIP),
+                    N=BoundarySide(euler.BC_SLIP))
+
+    def grav(x, y, t, W):     # constant gravity, state-dependent
+        return euler.forcing_gravity(W, (0.0, -0.1))
+
+    def extf(x, y, t, W):     # space/time-dependent external force
+        fx = 0.3 * jnp.sin(2.0 * jnp.pi * x) * jnp.cos(t)
+        fy = -0.2 * y
+        return euler.forcing_external(W, fx, fy)
+
+    def smooth_ic(x, y, t=0.0):
+        rho = 1.0 + 0.2 * jnp.exp(-((x - 1.0) ** 2 + (y - 0.5) ** 2) / 0.05)
+        p = 1.0 + 0.1 * rho
+        return jnp.stack([0.3 * rho, -0.1 * rho, rho,
+                          p / (euler.GAMMA - 1.0)
+                          + 0.5 * rho * (0.3**2 + 0.1**2)])
+
+    for fam, deg in (("Qk", 2), ("Pk", 2)):
+        basis = make_basis(fam, deg)
+        u = ic.set_initial_condition(basis, mesh, smooth_ic)
+        for bcs in (bcs_per, bcs_phys):
+            for src in (grav, extf):
+                rx = make_rhs(basis, mesh, bcs, flux="hllc",
+                              source=src)(u, 0.37)
+                rf = make_rhs(basis, mesh, bcs, flux="hllc", source=src,
+                              volume_kernel="fused")(u, 0.37)
+                rel = (float(jnp.abs(rx - rf).max())
+                       / float(jnp.abs(rx).max()))
+                assert rel < 1e-12, (fam, src.__name__, rel)
+
+
+def test_solver_with_fused_kernel_and_gravity_matches_xla_steps():
+    """Solver(volume_kernel='fused') with a body force (rayleigh_taylor's
+    constant gravity, examples/rayleigh_taylor/input.prm) steps match the
+    XLA solver: the in-kernel source keeps gravity runs on the production
+    path instead of falling back."""
+    from dflo_tpu.driver import LimiterConfig, Solver
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(32, 96, -0.25, 0.25, -0.75, 0.75)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+    lim = LimiterConfig(type="TVB", shock_indicator="limiter", beta=1.0,
+                        char_lim=False, pos_lim=True)
+
+    def grav(x, y, t, W):
+        return euler.forcing_gravity(W, (0.0, -0.1))
+
+    def rt_ic(x, y, t=0.0):  # heavy-over-light with a velocity perturbation
+        rho = jnp.where(y > 0.0, 2.0, 1.0)
+        p = 2.5 - 0.1 * rho * y
+        vy = 0.01 * (1.0 + jnp.cos(4.0 * jnp.pi * x)) \
+            * (1.0 + jnp.cos(3.0 * jnp.pi * y)) / 4.0
+        return jnp.stack([jnp.zeros_like(x), rho * vy, rho,
+                          p / (euler.GAMMA - 1.0) + 0.5 * rho * vy**2])
+
+    u0 = ic.set_initial_condition(basis, mesh, rt_ic)
+    sx = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.4,
+                source=grav)
+    sf = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.4,
+                source=grav, volume_kernel="fused")
+    ux, uf = sx.post_stage(u0), sf.post_stage(u0)
+    t = 0.0
+    for _ in range(3):
+        ux, dtx, _, _ = sx._step(ux, t, 1.0)
+        uf, _, _, _ = sf._step(uf, t, 1.0)
+        t += float(dtx)
+    rel = float(jnp.abs(ux - uf).max()) / float(jnp.abs(ux).max())
+    assert rel < 1e-11, rel
+
+
+def test_fused_residual_well_balanced_isothermal():
+    """Isothermal well-balanced gravity rides the fused kernel: matches the
+    XLA scheme (src_gll/assemble_explicit.cc:30-135) on a perturbed state
+    and preserves the hydrostatic equilibrium rho = e^{-phi/RT} to machine
+    epsilon over RK steps."""
+    from dflo_tpu.driver import Solver
+
+    basis = make_basis("Qk_gll", 2)
+    mesh = CartesianMesh(16, 16, 0.0, 1.0, 0.0, 1.0)
+    pot = lambda x, y: x + y  # noqa: E731
+    out = BoundarySide(euler.BC_OUTFLOW)
+    bcs = dict(W=out, E=out, S=out, N=out)
+    u0 = ic.set_initial_condition(basis, mesh, ic.isothermal_hydrostatic())
+
+    # rhs equality on a perturbed (non-equilibrium) state
+    upert = u0 * (1.0 + 1e-3 * jnp.sin(jnp.arange(u0.size)
+                                       .reshape(u0.shape)))
+    rx = make_rhs(basis, mesh, bcs, flux="lxf", well_balanced="isothermal",
+                  potential=pot)(upert, 0.0)
+    rf = make_rhs(basis, mesh, bcs, flux="lxf", well_balanced="isothermal",
+                  potential=pot, volume_kernel="fused")(upert, 0.0)
+    rel = float(jnp.abs(rx - rf).max()) / float(jnp.abs(rx).max())
+    assert rel < 1e-12, rel
+
+    # machine-eps preservation through the fused production step
+    s = Solver(basis, mesh, bcs, flux="lxf", cfl=0.5,
+               well_balanced="isothermal", potential=pot,
+               volume_kernel="fused")
+    u, t = u0, 0.0
+    for _ in range(10):
+        u, dt, bad, _ = s._step(u, t, 1e9)
+        assert not bool(bad)
+        t += float(dt)
+    drift = float(jnp.abs(u - u0).max())
+    assert drift < 5e-13, drift

@@ -276,3 +276,37 @@ def test_auto_select_fused_on_shipped_resolutions(monkeypatch, nx, ny):
     mesh_bad = CartesianMesh(4001, 64, 0.0, 4.0, 0.0, 1.0)
     s2 = Solver(basis, mesh_bad, _dmr_bcs(), flux="hllc", limiter=lim)
     assert not hasattr(s2.rhs, "stage")
+
+
+def test_auto_select_fused_with_body_force_and_wb(monkeypatch):
+    """Gravity / external-force / isothermal well-balanced configs ride the
+    fused production kernel on TPU (round-3 envelope widening): auto
+    selection must pick it, and polytropic must still fall back."""
+    import types
+
+    import dflo_tpu.driver as driver_mod
+    from dflo_tpu.physics import euler as _euler
+
+    monkeypatch.setattr(
+        driver_mod.jax, "devices",
+        lambda *a, **k: [types.SimpleNamespace(platform="tpu")])
+    lim = LimiterConfig(type="TVB", shock_indicator="density", M=0.0,
+                        char_lim=True, pos_lim=True)
+
+    def grav(x, y, t, W):
+        return _euler.forcing_gravity(W, (0.0, -0.1))
+
+    mesh = CartesianMesh(64, 32, 0.0, 1.0, 0.0, 1.0)
+    s = Solver(make_basis("Qk", 2), mesh, _dmr_bcs(), flux="hllc",
+               limiter=lim, source=grav)
+    assert hasattr(s.rhs, "stage"), "fused not auto-selected with gravity"
+
+    pot = lambda x, y: x + y  # noqa: E731
+    s2 = Solver(make_basis("Qk_gll", 2), mesh, _dmr_bcs(), flux="lxf",
+                well_balanced="isothermal", potential=pot)
+    assert hasattr(s2.rhs, "stage"), \
+        "fused not auto-selected for isothermal well-balanced"
+
+    s3 = Solver(make_basis("Qk_gll", 2), mesh, _dmr_bcs(), flux="lxf",
+                well_balanced="polytropic", potential=pot)
+    assert not hasattr(s3.rhs, "stage"), "polytropic must fall back to XLA"

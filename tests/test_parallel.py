@@ -420,3 +420,30 @@ def _dmr_mood_solver(device_mesh=None, **kw):
     return basis, mesh, Solver(basis, mesh, bcs, flux="hllc", limiter=lim,
                                cfl=0.5, method="mood",
                                device_mesh=device_mesh, **kw)
+
+
+def test_fused_rhs_sharded_with_body_force_matches_xla():
+    """Sharded fused residual with a body force: the device-local coordinate
+    slices feed the in-kernel source (gravity + a space/time-dependent
+    external force, src_mpi/equation.h:1186-1202) and match the global XLA
+    rhs on a (2, 4) mesh."""
+    from dflo_tpu.solver.spatial import make_rhs
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(32, 16, -5.0, 5.0, -5.0, 5.0)
+    per = BoundarySide(euler.BC_PERIODIC)
+    bcs = dict(W=per, E=per, S=per, N=per)
+    u0 = ic.set_initial_condition(basis, mesh, ic.isentropic_vortex())
+
+    def src(x, y, t, W):
+        fx = 0.05 * jnp.sin(0.4 * x) * jnp.cos(t)
+        fy = -0.03 * y + 0.1
+        return euler.forcing_external(W, fx, fy)
+
+    rhs_x = make_rhs(basis, mesh, bcs, flux="hllc", source=src)
+    dm = device_mesh((2, 4))
+    rhs_s = make_rhs(basis, mesh, bcs, flux="hllc", source=src,
+                     volume_kernel="fused", device_mesh=dm)
+    r_ref = np.array(rhs_x(u0, 0.7))
+    r_shd = np.array(rhs_s(shard_state(u0, dm), 0.7))
+    np.testing.assert_allclose(r_shd, r_ref, rtol=1e-11, atol=1e-11)
