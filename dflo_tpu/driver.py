@@ -120,13 +120,15 @@ class Solver:
                       # pallas_call has no JVP rule
                       and method in ("rk", "mood")
                       and tiles_ok)
-            post_ok = (vol_ok and device_mesh is None
+            post_ok = (vol_ok
                        and cfg0.type == "TVB"
                        and basis.family == "Qk" and basis.is_nodal_collocated
                        and not cfg0.conserve_angular_momentum
                        # ragged ny pads with solid rows, which cannot model
-                       # a y-periodic neighbor stencil
-                       and not (per_y and mesh.ny % 8 != 0)
+                       # a y-periodic neighbor stencil (single-chip only —
+                       # sharded blocks are tile-aligned by tiles_ok)
+                       and not (device_mesh is None and per_y
+                                and mesh.ny % 8 != 0)
                        and cfg0.shock_indicator in ("density", "energy",
                                                     "limiter"))
             if volume_kernel == "auto":
@@ -139,6 +141,12 @@ class Solver:
                 from dflo_tpu.ops.pallas_kernels import make_fused_diag
                 self._fused_diag = make_fused_diag(basis, mesh, dtype,
                                                    mask=mask)
+            elif (on_tpu and device_mesh is not None
+                  and not self.curvilinear and tiles_ok):
+                # per-device block reduction + one pmax/pmin across the mesh
+                from dflo_tpu.ops.pallas_kernels import make_fused_diag_sharded
+                self._fused_diag = make_fused_diag_sharded(
+                    basis, mesh, device_mesh, dtype)
         self._fused_diag = getattr(self, "_fused_diag", None)
         if self.curvilinear:
             from dflo_tpu.solver.spatial_curvi import make_rhs_curvilinear
@@ -217,20 +225,32 @@ class Solver:
                     or cfg.shock_indicator not in ("density", "energy",
                                                    "limiter")
                     or basis.family != "Qk"
-                    or not basis.is_nodal_collocated):
+                    or not basis.is_nodal_collocated
+                    or (device_mesh is not None and mask is not None)):
                 raise ValueError("post_kernel='fused' covers the plain "
-                                 "Cartesian Qk TVB hot path only")
-            from dflo_tpu.ops.pallas_kernels import make_fused_post
+                                 "Cartesian Qk TVB hot path only (masked "
+                                 "domains: single chip only)")
             # for the plain RK method the post kernel also emits the
             # (lam_max, minq) diagnostics from its in-kernel averages, so
             # the step's standalone diag passes disappear (post preserves
             # cell means, making end-of-stage values exact)
             self._post_diag = method == "rk"
-            self._fused_post = make_fused_post(
-                basis, mesh, indicator=cfg.shock_indicator, M=cfg.M,
-                beta=cfg.beta, char_lim=cfg.char_lim, pos_lim=cfg.pos_lim,
-                per_x=per_x, per_y=per_y, dtype=dtype,
-                with_diag=self._post_diag, mask=mask)
+            if device_mesh is not None:
+                # sharded chain: per-device VMEM kernel + ppermuted
+                # neighbor face/average packs over ICI
+                from dflo_tpu.ops.pallas_kernels import make_fused_post_sharded
+                self._fused_post = make_fused_post_sharded(
+                    basis, mesh, device_mesh, indicator=cfg.shock_indicator,
+                    M=cfg.M, beta=cfg.beta, char_lim=cfg.char_lim,
+                    pos_lim=cfg.pos_lim, per_x=per_x, per_y=per_y,
+                    dtype=dtype, with_diag=self._post_diag)
+            else:
+                from dflo_tpu.ops.pallas_kernels import make_fused_post
+                self._fused_post = make_fused_post(
+                    basis, mesh, indicator=cfg.shock_indicator, M=cfg.M,
+                    beta=cfg.beta, char_lim=cfg.char_lim, pos_lim=cfg.pos_lim,
+                    per_x=per_x, per_y=per_y, dtype=dtype,
+                    with_diag=self._post_diag, mask=mask)
         elif post_kernel != "xla":
             raise ValueError(f"unknown post kernel {post_kernel!r}")
 

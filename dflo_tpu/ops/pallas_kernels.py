@@ -753,7 +753,8 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
                     M: float = 0.0, beta: float = 1.0,
                     char_lim: bool = False, pos_lim: bool = True,
                     per_x: bool = False, per_y: bool = False,
-                    dtype=jnp.float32, with_diag: bool = False, mask=None):
+                    dtype=jnp.float32, with_diag: bool = False, mask=None,
+                    device_edges: bool = False):
     """Build post(u) -> u_limited, the fused per-stage stabilization chain.
 
     Equivalent (to f32 roundoff) to Solver.post_stage for the supported
@@ -771,6 +772,17 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     (W, E, S, N fluid-neighbor flags + self fluid flag) exactly matching
     stab.limiter.neighbor_valid — instead of the in-kernel edge arithmetic.
     The caller must NOT combine y-periodicity with a ragged ny.
+
+    device_edges=True builds the per-device-block kernel of the SHARDED
+    post chain (make_fused_post_sharded): `mesh` is the device-local block,
+    and the returned callable takes fused_post(u_loc, vflags, ovS, ovN,
+    ovW, ovE) where vflags is the RUNTIME neighbor-valid plane [5, ny, nx]
+    and ovS/ovN/ovW/ovE are cross-device neighbor packs — the adjacent
+    device's wq-weighted face trace + cell average of its edge line
+    ([c, nq+1, nx] for S/N, [c, nq+1, ny, 1] for W/E, delivered by
+    ppermute) — that replace the block-wrap values at edge tiles.  This is
+    the stabilization-chain analog of the residual kernel's delta-flux
+    strips (the TPU-native update_ghost_values, src_mpi/claw.cc:793).
     """
     from dflo_tpu.physics import euler as _euler
     from dflo_tpu.stab.positivity import EPS, REL_F32, _pos_points
@@ -785,8 +797,20 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     if pad_y and per_y:
         raise ValueError("fused post cannot combine y-periodicity with a "
                          "ragged ny (internal pad rows); use the XLA chain")
-    use_flags = mask is not None or pad_y > 0
-    if use_flags:
+    if device_edges:
+        if mask is not None:
+            raise ValueError("sharded fused post does not support masked "
+                             "domains")
+        if pad_y:
+            raise ValueError("sharded fused post needs the per-device block "
+                             "height to be a multiple of 8 (no internal "
+                             "pad rows under a device mesh)")
+        if per_x or per_y:
+            raise ValueError("device_edges handles periodicity through the "
+                             "runtime flags/override packs; pass "
+                             "per_x=per_y=False")
+    use_flags = mask is not None or pad_y > 0 or device_edges
+    if use_flags and not device_edges:
         from dflo_tpu.stab.limiter import neighbor_valid
         vf = np.stack(neighbor_valid((ny_true, nx_true), per_x, per_y,
                                      mask), axis=0).astype(np.float64)
@@ -831,6 +855,9 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
     def kernel(u_ref, up_ref, dn_ref, lf_ref, rt_ref, *rest):
         if use_flags:
             vf_ref, rest = rest[0], rest[1:]
+        if device_edges:
+            ovS_ref, ovN_ref, ovW_ref, ovE_ref = rest[:4]
+            rest = rest[4:]
         if with_diag:
             out_ref, lam_ref, minq_ref = rest
         else:
@@ -867,6 +894,27 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         dn_face, dn_avg = row_trace(dn_ref, 2)          # S face, first row
         lf_face, lf_avg = col_trace(lf_ref, 1, last=True)   # E face
         rt_face, rt_avg = col_trace(rt_ref, 0, last=False)  # W face
+
+        if device_edges:
+            # block-edge tiles: the wrap values above point at the wrong
+            # (own-block) neighbor — replace them with the ppermuted
+            # cross-device packs (neighbor's wq-weighted face trace rows
+            # 0..nq-1 + its cell-average row nq).  Interior tiles keep the
+            # in-block wrap; at true domain boundaries the pack content is
+            # never consumed (the vflags zero those stencil arms).
+            ovS = ovS_ref[:]                            # [c, nq+1, tx]
+            up_face = jnp.where(i == 0, ovS[:, :nq][:, :, None], up_face)
+            up_avg = jnp.where(i == 0, ovS[:, nq][:, None], up_avg)
+            ovN = ovN_ref[:]
+            dn_face = jnp.where(i == n_i - 1,
+                                ovN[:, :nq][:, :, None], dn_face)
+            dn_avg = jnp.where(i == n_i - 1, ovN[:, nq][:, None], dn_avg)
+            ovW = ovW_ref[:]                            # [c, nq+1, ty, 1]
+            lf_face = jnp.where(j == 0, ovW[:, :nq], lf_face)
+            lf_avg = jnp.where(j == 0, ovW[:, nq], lf_avg)
+            ovE = ovE_ref[:]
+            rt_face = jnp.where(j == n_j - 1, ovE[:, :nq], rt_face)
+            rt_avg = jnp.where(j == n_j - 1, ovE[:, nq], rt_avg)
 
         # halo shifts as roll + iota-select (measured faster under Mosaic
         # than concat+slice, see _fused_kernel)
@@ -1080,7 +1128,7 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
                                                jnp.min(pre_d)), f32)
 
     @functools.partial(jax.jit, static_argnames=("interpret",))
-    def call(u, interpret=False):
+    def call(u, extra=(), interpret=False):
         if pad_y:
             c_, k_, _, nx_ = u.shape
             pad = jnp.broadcast_to(pad_coeff[:, :, None, None],
@@ -1121,7 +1169,18 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
         if use_flags:
             in_specs.append(pl.BlockSpec((5, TY, TX), lambda i, j: (0, i, j),
                                          memory_space=pltpu.VMEM))
-            args.append(vflags)
+            args.append(extra[0] if device_edges else vflags)
+        if device_edges:
+            _, ovS, ovN, ovW, ovE = extra
+            # S/N packs blocked by tile column, W/E packs (trailing
+            # singleton lane axis so the block stays tile-legal) by tile row
+            spec_sn = pl.BlockSpec((c, nq + 1, TX), lambda i, j: (0, 0, j),
+                                   memory_space=pltpu.VMEM)
+            spec_we = pl.BlockSpec((c, nq + 1, TY, 1),
+                                   lambda i, j: (0, 0, i, 0),
+                                   memory_space=pltpu.VMEM)
+            in_specs += [spec_sn, spec_sn, spec_we, spec_we]
+            args += [ovS, ovN, ovW, ovE]
         out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
         out_specs = spec_u
         if with_diag:
@@ -1145,10 +1204,111 @@ def make_fused_post(basis, mesh, *, indicator: str = "density",
             return u1, jnp.max(lam), jnp.min(minq)
         return out[:, :, :ny - pad_y, :] if pad_y else out
 
-    def fused_post(u):
-        return call(u, interpret=_interpret())
+    def fused_post(u, *halo):
+        return call(u, tuple(halo), interpret=_interpret())
 
     return fused_post
+
+
+def make_fused_post_sharded(basis, mesh, device_mesh, *,
+                            indicator: str = "density", M: float = 0.0,
+                            beta: float = 1.0, char_lim: bool = False,
+                            pos_lim: bool = True, per_x: bool = False,
+                            per_y: bool = False, dtype=jnp.float32,
+                            with_diag: bool = False):
+    """Sharded fused stabilization chain: post(u) over a device mesh.
+
+    Each device runs the single-chip VMEM post kernel
+    (make_fused_post(device_edges=True)) on its local block; the
+    cross-device neighbor cell averages and face traces it needs at block
+    edges arrive as ppermuted (nq+1)-row packs over ICI — O(boundary)
+    bytes per stage, the stabilization-chain counterpart of the sharded
+    fused residual's delta-flux strips (replaces the reference's
+    update_ghost_values before the limiter sweep, src_mpi/claw.cc:793,
+    src_mpi/limiter.cc:397-555).  Global periodic seams ride the same
+    wrap ppermutes; true domain boundaries are flagged off per device.
+
+    with_diag=True: returns (u_limited, lam_max, minq) with the scalars
+    reduced across the mesh (pmax/pmin — MPI::min dt of
+    src_mpi/claw.cc:579)."""
+    import types
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dflo_tpu.parallel.sharding import mesh_grid_shape, mesh_y_axes
+
+    YAX = mesh_y_axes(device_mesh)
+    XAX = device_mesh.axis_names[-1]
+    DY, DX = mesh_grid_shape(device_mesh)
+    if mesh.ny % DY or mesh.nx % DX:
+        raise ValueError(f"mesh {mesh.ny}x{mesh.nx} not divisible by "
+                         f"device mesh {DY}x{DX}")
+    ly, lx = mesh.ny // DY, mesh.nx // DX
+    if ly % 8:
+        raise ValueError("sharded fused post needs ny/DY % 8 == 0")
+    if not fused_shape_ok(ly, lx):
+        raise ValueError(f"per-device block {ly}x{lx} outside the fused "
+                         "kernel envelope")
+    lmesh = types.SimpleNamespace(ny=ly, nx=lx, dx=mesh.dx, dy=mesh.dy,
+                                  diameter_h=mesh.diameter_h)
+    fpost = make_fused_post(basis, lmesh, indicator=indicator, M=M,
+                            beta=beta, char_lim=char_lim, pos_lim=pos_lim,
+                            per_x=False, per_y=False, dtype=dtype,
+                            with_diag=with_diag, mask=None,
+                            device_edges=True)
+    nq = basis.nq
+    fVw = [jnp.asarray(basis.wq[:, None] * basis.faceV[f], dtype)
+           for f in range(4)]
+    avg_vec = jnp.asarray(basis.wq2 @ basis.V, dtype)
+    HI = jax.lax.Precision.HIGHEST
+
+    def _pack(x, face):
+        """[c, K, L] k-resolved edge line -> [c, nq+1, L] pack of the
+        wq-weighted face trace (rows 0..nq-1) + cell average (row nq) —
+        exactly the quantities the kernel's row_trace/col_trace compute."""
+        tr = jnp.einsum("qk,ckl->cql", fVw[face], x, precision=HI)
+        av = jnp.einsum("k,ckl->cl", avg_vec, x, precision=HI)
+        return jnp.concatenate([tr, av[:, None]], axis=1)
+
+    def _local(u_loc):
+        iy = jax.lax.axis_index(YAX)
+        ix = jax.lax.axis_index(XAX)
+        north = [(d, (d + 1) % DY) for d in range(DY)]
+        south = [(d, (d - 1) % DY) for d in range(DY)]
+        east = [(d, (d + 1) % DX) for d in range(DX)]
+        west = [(d, (d - 1) % DX) for d in range(DX)]
+        # my south neighbor's north-face pack of its LAST row, etc. —
+        # same orientation as the sharded residual's trace ppermutes
+        ovS = jax.lax.ppermute(_pack(u_loc[:, :, -1, :], 3), YAX, north)
+        ovN = jax.lax.ppermute(_pack(u_loc[:, :, 0, :], 2), YAX, south)
+        ovW = jax.lax.ppermute(_pack(u_loc[:, :, :, -1], 1), XAX,
+                               east)[..., None]
+        ovE = jax.lax.ppermute(_pack(u_loc[:, :, :, 0], 0), XAX,
+                               west)[..., None]
+        # device-edge neighbor-valid flags (stab.limiter.neighbor_valid
+        # semantics, evaluated per device at runtime)
+        one = jnp.ones((ly, lx), dtype)
+        row = jax.lax.broadcasted_iota(jnp.int32, (ly, lx), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ly, lx), 1)
+        vW = one if per_x else jnp.where((ix == 0) & (col == 0), 0.0, one)
+        vE = one if per_x else \
+            jnp.where((ix == DX - 1) & (col == lx - 1), 0.0, one)
+        vS = one if per_y else jnp.where((iy == 0) & (row == 0), 0.0, one)
+        vN = one if per_y else \
+            jnp.where((iy == DY - 1) & (row == ly - 1), 0.0, one)
+        vflags = jnp.stack([vW, vE, vS, vN, one]).astype(dtype)
+        out = fpost(u_loc, vflags, ovS, ovN, ovW, ovE)
+        if with_diag:
+            u1, lam, minq = out
+            ax = tuple(YAX) + (XAX,)
+            return u1, jax.lax.pmax(lam, ax), jax.lax.pmin(minq, ax)
+        return out
+
+    su = P(None, None, YAX, XAX)
+    outs = (su, P(), P()) if with_diag else su
+    return shard_map(_local, mesh=device_mesh, in_specs=(su,),
+                     out_specs=outs, check_vma=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1253,6 +1413,42 @@ def make_fused_diag(basis, mesh, dtype=jnp.float32, mask=None):
         return call(u, interpret=_interpret())
 
     return diag
+
+
+def make_fused_diag_sharded(basis, mesh, device_mesh, dtype=jnp.float32):
+    """Sharded fused diagnostics: each device reduces its own block in VMEM
+    (make_fused_diag on the local shape), then one pmax/pmin pair crosses
+    the mesh — the MPI::min-dt / negativity-check collectives of
+    src_mpi/claw.cc:579 and src/positivity.cc:26-39."""
+    import types
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dflo_tpu.parallel.sharding import mesh_grid_shape, mesh_y_axes
+
+    YAX = mesh_y_axes(device_mesh)
+    XAX = device_mesh.axis_names[-1]
+    DY, DX = mesh_grid_shape(device_mesh)
+    if mesh.ny % DY or mesh.nx % DX:
+        raise ValueError(f"mesh {mesh.ny}x{mesh.nx} not divisible by "
+                         f"device mesh {DY}x{DX}")
+    ly, lx = mesh.ny // DY, mesh.nx // DX
+    if not fused_shape_ok(ly, lx):
+        raise ValueError(f"per-device block {ly}x{lx} outside the fused "
+                         "kernel envelope")
+    lmesh = types.SimpleNamespace(ny=ly, nx=lx, dx=mesh.dx, dy=mesh.dy,
+                                  diameter_h=mesh.diameter_h)
+    fdiag = make_fused_diag(basis, lmesh, dtype)
+    ax = tuple(YAX) + (XAX,)
+
+    def _local(u_loc):
+        lam, minq = fdiag(u_loc)
+        return jax.lax.pmax(lam, ax), jax.lax.pmin(minq, ax)
+
+    su = P(None, None, YAX, XAX)
+    return shard_map(_local, mesh=device_mesh, in_specs=(su,),
+                     out_specs=(P(), P()), check_vma=False)
 
 
 # ---------------------------------------------------------------------------

@@ -447,3 +447,127 @@ def test_fused_rhs_sharded_with_body_force_matches_xla():
     r_ref = np.array(rhs_x(u0, 0.7))
     r_shd = np.array(rhs_s(shard_state(u0, dm), 0.7))
     np.testing.assert_allclose(r_shd, r_ref, rtol=1e-11, atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# Sharded fused stabilization chain (make_fused_post_sharded): per-device
+# VMEM post kernel + ppermuted neighbor face-trace/average packs over the
+# mesh — the stabilization counterpart of the sharded fused residual
+# (replaces update_ghost_values before the limiter sweep,
+# src_mpi/claw.cc:793, src_mpi/limiter.cc:397-555).
+# ---------------------------------------------------------------------------
+
+
+def _smooth_sod_ic(x, y, t=0.0):
+    """Tanh-smoothed Sod profile: steep enough to mark cells and engage the
+    limiter decisively, smooth enough that no minmod/indicator decision sits
+    at a roundoff tie (the sharded packs reassociate f64 sums ~1e-16)."""
+    s = 0.5 * (1.0 - jnp.tanh((x - 0.5) / 0.004))
+    rho = 0.125 + (1.0 - 0.125) * s
+    p = 0.1 + (1.0 - 0.1) * s
+    vx = 0.4 * jnp.sin(6.0 * x) * (1.0 - s)
+    return jnp.stack([rho * vx, jnp.zeros_like(x), rho,
+                      p / (euler.GAMMA - 1.0) + 0.5 * rho * vx**2])
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
+def test_fused_post_sharded_matches_single(shape):
+    """Sharded fused post == single-chip fused post (and the XLA chain) on
+    a non-periodic shock profile: every device-edge neighbor average/trace
+    must arrive bit-consistently through the ppermuted packs."""
+    from dflo_tpu.ops.pallas_kernels import (make_fused_post,
+                                             make_fused_post_sharded)
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(256, 16, 0.0, 1.0, 0.0, 0.125)
+    u0 = ic.set_initial_condition(basis, mesh, _smooth_sod_ic)
+    kw = dict(indicator="density", M=0.0, beta=2.0, char_lim=True,
+              pos_lim=True, dtype=u0.dtype, with_diag=True)
+    f1 = make_fused_post(basis, mesh, per_x=False, per_y=False, **kw)
+    dm = device_mesh(shape)
+    fN = make_fused_post_sharded(basis, mesh, dm, per_x=False, per_y=False,
+                                 **kw)
+    u1, lam1, mq1 = f1(u0)
+    uN, lamN, mqN = fN(shard_state(u0, dm))
+    assert len(uN.sharding.device_set) == 8
+    # the chain must actually do work on this state
+    assert np.abs(np.array(u1) - np.array(u0)).max() > 1e-8
+    np.testing.assert_allclose(np.array(uN), np.array(u1),
+                               rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(float(lamN), float(lam1), rtol=1e-12)
+    np.testing.assert_allclose(float(mqN), float(mq1), rtol=1e-12)
+
+
+def test_fused_post_sharded_periodic_and_multislice():
+    """Fully periodic seams ride the wrap ppermutes (a 1-device axis
+    degenerates to a self-send); the 3-axis multi-slice mesh addresses the
+    folded ('slice','dy') axis in its y ppermute."""
+    from dflo_tpu.ops.pallas_kernels import (make_fused_post,
+                                             make_fused_post_sharded)
+    from dflo_tpu.parallel import device_mesh_multislice
+
+    def bumpy_vortex(x, y, t=0.0):
+        u = ic.isentropic_vortex()(x, y, t)
+        s = 0.5 * (1.0 - jnp.tanh((x + y) / 0.2))
+        return u.at[euler.RHO].mul(1.0 + 0.5 * s).at[euler.ENE].mul(
+            1.0 + 0.8 * s)
+
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(32, 32, -5.0, 5.0, -5.0, 5.0)
+    u0 = ic.set_initial_condition(basis, mesh, bumpy_vortex)
+    # mark-all indicator: the TVB minmod consumes neighbor averages in
+    # EVERY cell, so every seam pack is load-bearing
+    kw = dict(indicator="limiter", M=0.0, beta=2.0, char_lim=True,
+              pos_lim=True, dtype=u0.dtype, with_diag=False)
+    f1 = make_fused_post(basis, mesh, per_x=True, per_y=True, **kw)
+    u1 = np.array(f1(u0))
+    assert np.abs(u1 - np.array(u0)).max() > 1e-8
+    for dm in (device_mesh((2, 4)),
+               device_mesh_multislice(2, shape=(2, 2))):
+        fN = make_fused_post_sharded(basis, mesh, dm, per_x=True,
+                                     per_y=True, **kw)
+        uN = fN(shard_state(u0, dm))
+        np.testing.assert_allclose(np.array(uN), u1,
+                                   rtol=1e-11, atol=1e-12)
+
+
+def test_fused_post_sharded_solver_end_to_end():
+    """Solver(volume_kernel='fused', post_kernel='fused', device_mesh=...):
+    the FULL sharded fused production step {residual + blend kernel, post
+    chain kernel, sharded diag} matches the single-device fused solver over
+    a strict short Sod window (same dt sequence, roundoff state equality)."""
+    from dflo_tpu.ops.pallas_kernels import make_fused_diag_sharded
+    basis = make_basis("Qk", 2)
+    mesh = CartesianMesh(128, 16, 0.0, 1.0, 0.0, 0.125)
+    bcs = dict(W=BoundarySide(euler.BC_OUTFLOW),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP), N=BoundarySide(euler.BC_SLIP))
+    lim = LimiterConfig(type="TVB", shock_indicator="density", beta=2.0,
+                        char_lim=True, pos_lim=True)
+    u0 = ic.set_initial_condition(basis, mesh, _smooth_sod_ic)
+
+    s1 = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5,
+                volume_kernel="fused", post_kernel="fused")
+    dm = device_mesh((2, 4))
+    sN = Solver(basis, mesh, bcs, flux="hllc", limiter=lim, cfl=0.5,
+                device_mesh=dm, volume_kernel="fused", post_kernel="fused")
+    assert sN._fused_post is not None and sN._post_diag
+    # the sharded diag pairs with the sharded post for the carry-lam loop
+    sN._fused_diag = make_fused_diag_sharded(basis, mesh, dm, u0.dtype)
+    us, uss = u0, shard_state(u0, dm)
+    t = jnp.zeros(())
+    for _ in range(5):
+        us, dt1, bad1, _ = s1._step(us, t, jnp.asarray(1.0))
+        uss, dtN, badN, _ = sN._step(uss, t, jnp.asarray(1.0))
+        assert float(dt1) == float(dtN)
+        assert not bool(bad1) and not bool(badN)
+        t = t + dt1
+    assert len(uss.sharding.device_set) == 8
+    np.testing.assert_allclose(np.array(uss), np.array(us),
+                               rtol=1e-10, atol=1e-11)
+    # sharded fused diag: lam matches the XLA CFL formula on the same state
+    lamN, mqN = sN._fused_diag(uss)
+    from dflo_tpu.solver import rk as rk_mod
+    dt_x = rk_mod.compute_dt(s1.cell_averages(us), mesh, basis.degree, 0.5)
+    dt_f = 0.5 / lamN / (2.0 * basis.degree + 1.0)
+    np.testing.assert_allclose(float(dt_f), float(dt_x), rtol=1e-11)
+    assert float(mqN) > 0.0
