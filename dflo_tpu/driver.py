@@ -83,25 +83,25 @@ class Solver:
         # path); XLA everywhere else.  CPU always resolves to XLA —
         # interpret-mode Pallas would crawl.
         cfg0 = self.limiter_cfg
+        from dflo_tpu.ops.pallas_kernels import fused_shape_ok
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        if device_mesh is not None:
+            # sharded: per-device block dims must be (sublane, lane)-
+            # tile aligned (no internal padding under a device mesh)
+            from dflo_tpu.parallel.sharding import mesh_grid_shape
+            DY_, DX_ = mesh_grid_shape(device_mesh)
+            tiles_ok = (mesh.ny % DY_ == 0 and mesh.nx % DX_ == 0
+                        and (mesh.ny // DY_) % 8 == 0
+                        and (mesh.nx // DX_) % 128 == 0
+                        # sharded fused path has no masked-domain
+                        # delta-strip support
+                        and mask is None)
+        else:
+            # single chip: ANY shape rides the fused kernels (ragged nx
+            # becomes one full-width lane tile, ragged ny gains internal
+            # solid pad rows) except huge lane-ragged widths
+            tiles_ok = fused_shape_ok(mesh.ny, mesh.nx)
         if volume_kernel == "auto" or post_kernel == "auto":
-            from dflo_tpu.ops.pallas_kernels import fused_shape_ok
-            on_tpu = jax.devices()[0].platform not in ("cpu",)
-            if device_mesh is not None:
-                # sharded: per-device block dims must be (sublane, lane)-
-                # tile aligned (no internal padding under a device mesh)
-                from dflo_tpu.parallel.sharding import mesh_grid_shape
-                DY_, DX_ = mesh_grid_shape(device_mesh)
-                tiles_ok = (mesh.ny % DY_ == 0 and mesh.nx % DX_ == 0
-                            and (mesh.ny // DY_) % 8 == 0
-                            and (mesh.nx // DX_) % 128 == 0
-                            # sharded fused path has no masked-domain
-                            # delta-strip support
-                            and mask is None)
-            else:
-                # single chip: ANY shape rides the fused kernels (ragged nx
-                # becomes one full-width lane tile, ragged ny gains internal
-                # solid pad rows) except huge lane-ragged widths
-                tiles_ok = fused_shape_ok(mesh.ny, mesh.nx)
             vol_ok = (on_tpu and not self.curvilinear
                       # body forces ride the fused kernel everywhere: the
                       # in-kernel quadrature-point source (pallas_kernels
@@ -135,19 +135,23 @@ class Solver:
                 volume_kernel = "fused" if vol_ok else "xla"
             if post_kernel == "auto":
                 post_kernel = "fused" if post_ok else "xla"
-            if (on_tpu and device_mesh is None and not self.curvilinear
-                    and fused_shape_ok(mesh.ny, mesh.nx)):
-                # fused dt/negativity diagnostics (any basis; mask-aware)
-                from dflo_tpu.ops.pallas_kernels import make_fused_diag
-                self._fused_diag = make_fused_diag(basis, mesh, dtype,
-                                                   mask=mask)
-            elif (on_tpu and device_mesh is not None
-                  and not self.curvilinear and tiles_ok):
-                # per-device block reduction + one pmax/pmin across the mesh
-                from dflo_tpu.ops.pallas_kernels import make_fused_diag_sharded
-                self._fused_diag = make_fused_diag_sharded(
-                    basis, mesh, device_mesh, dtype)
-        self._fused_diag = getattr(self, "_fused_diag", None)
+        # fused dt/negativity diagnostics: built whenever the mesh sits in
+        # the fused envelope — independent of how volume/post kernels were
+        # selected, so explicit volume_kernel='fused' configurations also
+        # get the fused diag and the carry-lam chunked loop
+        self._fused_diag = None
+        if (on_tpu and device_mesh is None and not self.curvilinear
+                and fused_shape_ok(mesh.ny, mesh.nx)):
+            # fused dt/negativity diagnostics (any basis; mask-aware)
+            from dflo_tpu.ops.pallas_kernels import make_fused_diag
+            self._fused_diag = make_fused_diag(basis, mesh, dtype,
+                                               mask=mask)
+        elif (on_tpu and device_mesh is not None
+              and not self.curvilinear and tiles_ok):
+            # per-device block reduction + one pmax/pmin across the mesh
+            from dflo_tpu.ops.pallas_kernels import make_fused_diag_sharded
+            self._fused_diag = make_fused_diag_sharded(
+                basis, mesh, device_mesh, dtype)
         if self.curvilinear:
             from dflo_tpu.solver.spatial_curvi import make_rhs_curvilinear
             if self.limiter_cfg.type == "TVB":
