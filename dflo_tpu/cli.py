@@ -533,10 +533,16 @@ def main(argv=None):
                          f" limit={int(stats.n_marked)}"
                          f" passes={int(stats.iters)}")
             elif solver_method == "implicit" and stats is not None:
-                # Newton residual history (src/claw.cc:913-914, 1090)
+                # Newton residual history + linear-solver stats
+                # (src/claw.cc:913-914, 1090)
                 res = float(stats.res)
                 residual_history.append(res)
-                line += f"  newton: res={res:.3e} iters={int(stats.iters)}"
+                line += (f"  newton: res={res:.3e} iters={int(stats.iters)}"
+                         f" lin_res={float(stats.lin_res):.1e}")
+                if float(stats.lin_res) > solver.linear_residual * 1.001:
+                    # tolerated non-convergence: warn and continue
+                    # (src/claw.cc:677-687)
+                    line += "  WARNING: linear solver did not converge"
             elif verbose:
                 # explicit per-step rhs norm (src/claw.cc:749,768-769)
                 import jax.numpy as _jnp

@@ -305,6 +305,14 @@ class Solver:
                 post_update=self.post_stage)
         elif method != "rk":
             raise ValueError(f"unknown solver method {method!r}")
+        self.precondition = precondition
+        self.linear_residual = linear_residual
+        # global-dt implicit stepping seeds Newton with the extrapolated
+        # predictor 2u - u_old carried across steps (src/claw.cc:1063-1065,
+        # 1101-1108); local (pseudo-transient) stepping does not
+        # (src/claw.cc:1101-1103)
+        self._carry_pred = (method == "implicit"
+                            and time_step_type == "global")
         self._step = jax.jit(self._make_step())
         self._multi_cache = {}
         self.last_stats = None       # device-side MoodStats/NewtonInfo of
@@ -364,7 +372,15 @@ class Solver:
         TVB limiter runs ONLY on cells the cascade marked
         (shock_indicator set to 1e20, src/mood.cc:335-340) followed by the
         positivity limiter (src/claw.cc:866-869).  Returns the summed
-        cascade counters over the stages (src/claw.cc:851 printout)."""
+        cascade counters over the stages (src/claw.cc:851 printout).
+
+        Every stage re-cascades from full degree p with a fresh limiter
+        mark set, exactly like the reference (src/mood.cc:436-489).  Warm-
+        starting later stages/steps at the previous settled degree map was
+        built and MEASURED SLOWER and more dissipative — starting a
+        cascade with cells already at degree 1 re-triggers the
+        mark -> spread -> reduce chain every stage, which the fresh
+        re-cascade structurally avoids (see PERF.md negative results)."""
         from dflo_tpu.stab.mood import MoodStats
         u_old = u
         stats = None
@@ -396,8 +412,10 @@ class Solver:
             assert (use_post_diag and self.fixed_time_step is None
                     and self.time_step_type == "global"
                     and not self.curvilinear)
+        carry_pred = self._carry_pred
 
-        def step(u, t, t_end, lam_prev=None):
+        def step(u, t, t_end, lam_prev=None, pred=None):
+            u_in = u
             if self.device_mesh is not None:
                 from dflo_tpu.parallel.sharding import cell_sharding
                 u = jax.lax.with_sharding_constraint(
@@ -438,7 +456,8 @@ class Solver:
                 u, stats = self._mood_rk_step(u, t, dt)
             elif self.method == "implicit":
                 u, stats = self._implicit_step(
-                    u, t, dt if dt_field is None else dt_field)
+                    u, t, dt if dt_field is None else dt_field,
+                    u_guess=pred if carry_pred else None)
             elif use_post_diag:
                 u, lam_new, minq = rk_mod.ssp_rk_step(
                     self.rhs, u, t, dt, self.ark, self.stage_times,
@@ -466,6 +485,10 @@ class Solver:
                 bad = bad | stats.diverged
             if carry_lam:
                 return u, dt, bad, stats, diag_out[0]
+            if carry_pred:
+                # extrapolated Newton seed for the NEXT step
+                # (src/claw.cc:1104-1108: predictor = 2 u - u_old)
+                return u, dt, bad, stats, 2.0 * u - u_in
             return u, dt, bad, stats
         return step
 
@@ -483,37 +506,50 @@ class Solver:
                          and not self.curvilinear)
             step = self._make_step(carry_lam=carry_lam)
 
+            carry_pred = self._carry_pred
+
             def multi(u, t, t_end):
                 zero = jnp.zeros((), t.dtype)
+                # one mode-dependent extra carry slot: the CFL wave speed
+                # (carry_lam) or the Newton predictor (carry_pred) —
+                # mutually exclusive by method
                 if carry_lam:
                     # seed once per chunk; thereafter the wave speed comes
                     # free from the final stage's fused post diagnostics
-                    lam0, _ = self._fused_diag(u)
-                    st_shape = jax.eval_shape(step, u, t, t_end, lam0)[3]
+                    xtr0, _ = self._fused_diag(u)
+                    st_shape = jax.eval_shape(step, u, t, t_end, xtr0)[3]
+                elif carry_pred:
+                    # first step's Newton seed is the solution itself
+                    # (src/claw.cc:1003: predictor = current_solution)
+                    xtr0 = u
+                    st_shape = jax.eval_shape(step, u, t, t_end, None, u)[3]
                 else:
-                    lam0 = jnp.zeros((), t.dtype)
+                    xtr0 = zero
                     st_shape = jax.eval_shape(step, u, t, t_end)[3]
                 stats0 = jax.tree_util.tree_map(
                     lambda s: jnp.zeros(s.shape, s.dtype), st_shape)
 
                 def body(carry):
-                    u, t, comp, it, _bad, _stats, lam = carry
+                    u, t, comp, it, _bad, _stats, xtr = carry
                     if carry_lam:
-                        un, dt, bad, stats, lam = step(u, t, t_end, lam)
+                        un, dt, bad, stats, xtr = step(u, t, t_end, xtr)
+                    elif carry_pred:
+                        un, dt, bad, stats, xtr = step(u, t, t_end, None,
+                                                       xtr)
                     else:
                         un, dt, bad, stats = step(u, t, t_end)
                     y = dt - comp
                     t2 = t + y
                     comp = (t2 - t) - y
-                    return un, t2, comp, it + 1, bad, stats, lam
+                    return un, t2, comp, it + 1, bad, stats, xtr
 
                 def cond(carry):
-                    _u, t, _c, it, bad, _s, _lam = carry
+                    _u, t, _c, it, bad, _s, _x = carry
                     return (t < t_end - 1e-12) & (it < chunk) & ~bad
 
-                u, t, _c, it, bad, stats, _lam = jax.lax.while_loop(
+                u, t, _c, it, bad, stats, _x = jax.lax.while_loop(
                     cond, body, (u, t, zero, jnp.asarray(0),
-                                 jnp.asarray(False), stats0, lam0))
+                                 jnp.asarray(False), stats0, xtr0))
                 return u, t, it, bad, stats
 
             self._multi_cache[chunk] = jax.jit(multi)
@@ -551,8 +587,12 @@ class Solver:
                 if callback is not None:
                     callback(u, t, it)
             return u, t, it
+        pred = u if self._carry_pred else None
         while t < t_end - 1e-12 and it < max_steps:
-            u, dt, bad, stats = self._step(u, t, t_end)
+            if self._carry_pred:
+                u, dt, bad, stats, pred = self._step(u, t, t_end, None, pred)
+            else:
+                u, dt, bad, stats = self._step(u, t, t_end)
             self.last_stats = stats
             if bool(bad):
                 raise FloatingPointError(

@@ -107,6 +107,8 @@ class UnstructuredSolver:
                 post_update=self.post_stage)
         elif method != "rk":
             raise ValueError(f"unknown solver method {method!r}")
+        self.precondition = precondition
+        self.linear_residual = linear_residual
         self._step = jax.jit(self._make_step())
         self._multi_cache = {}
         self.last_stats = None

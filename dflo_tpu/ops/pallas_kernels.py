@@ -193,9 +193,74 @@ def volume_residual(lift, u):
 # ---------------------------------------------------------------------------
 
 
+def _modal_tp_slabs(slabs, dg, *, mode_deg, avg0, P_np, dtype):
+    """{Pk degree truncation -> Zhang-Shu positivity} on slab lists.
+
+    slabs: list of K mode slabs, each [4, *sp]; dg [*sp] int32.  Returns the
+    limited slab list.  The shared body of make_fused_modal_pos's kernel in
+    layout-free form, so the fused residual kernel can apply the same chain
+    to its state tile AND its halo row/column strips before tracing (the
+    one-pass MOOD candidate) with no in-kernel transposes.  Numerically
+    identical to stab/mood truncation (src/mood.cc:174-191) + stab/positivity
+    (src/positivity.cc:16-208) with dtype-aware floors."""
+    from dflo_tpu.stab.positivity import EPS, REL_F32
+    K = len(slabs)
+    slabs = [jnp.where(dg >= mode_deg[kk], slabs[kk], 0.0)
+             if mode_deg[kk] > 0 else slabs[kk] for kk in range(K)]
+    ub = avg0 * slabs[0]                            # [4, *sp]
+    if dtype != jnp.float64:
+        eps_r = jnp.maximum(EPS, REL_F32 * ub[euler.RHO])
+        p_avg = (euler.GAMMA - 1.0) * (
+            ub[euler.ENE] - 0.5 * (ub[euler.MX] ** 2 + ub[euler.MY] ** 2)
+            / ub[euler.RHO])
+        eps_p = jnp.maximum(EPS, REL_F32 * p_avg)[None]
+    else:
+        eps_r = EPS
+        eps_p = EPS
+    Wp = jnp.stack(_cmm(P_np, slabs), axis=1)       # [4, Qp, *sp]
+    rho_min = jnp.min(Wp[euler.RHO], axis=0)
+    rho_avg = ub[euler.RHO]
+    rat = jnp.abs(rho_avg - eps_r) / (jnp.abs(rho_avg - rho_min) + 1.0e-13)
+    theta1 = jnp.minimum(rat, 1.0)                  # [*sp]
+    rho_new = [slabs[0][euler.RHO] * theta1 + rho_avg * (1.0 - theta1)] + \
+        [slabs[kk][euler.RHO] * theta1 for kk in range(1, K)]
+    slabs = [jnp.stack([rho_new[kk] if ci == euler.RHO else slabs[kk][ci]
+                        for ci in range(4)]) for kk in range(K)]
+    Wp = jnp.stack([Wp[ci] * theta1[None] + rho_avg[None] * (1.0 - theta1)
+                    if ci == euler.RHO else Wp[ci] for ci in range(4)])
+    pre = (euler.GAMMA - 1.0) * (
+        Wp[euler.ENE] - 0.5 * (Wp[euler.MX] ** 2 + Wp[euler.MY] ** 2)
+        / Wp[euler.RHO])
+    d = Wp - ub[:, None]
+    drho, dE = d[euler.RHO], d[euler.ENE]
+    dmx, dmy = d[euler.MX], d[euler.MY]
+    mavg_x, mavg_y = ub[euler.MX][None], ub[euler.MY][None]
+    ravg, Eavg = ub[euler.RHO][None], ub[euler.ENE][None]
+    a1 = 2.0 * drho * dE - (dmx * dmx + dmy * dmy)
+    b1 = (2.0 * drho * (Eavg - eps_p / (euler.GAMMA - 1.0))
+          + 2.0 * ravg * dE - 2.0 * (mavg_x * dmx + mavg_y * dmy))
+    c1 = (2.0 * ravg * Eavg - (mavg_x ** 2 + mavg_y ** 2)
+          - 2.0 * eps_p * ravg / (euler.GAMMA - 1.0))
+    a1s = jnp.where(a1 == 0.0, 1.0, a1)
+    b1n, c1n = b1 / a1s, c1 / a1s
+    Dq = jnp.sqrt(jnp.abs(b1n * b1n - 4.0 * c1n))
+    t1 = 0.5 * (-b1n - Dq)
+    t2 = 0.5 * (-b1n + Dq)
+    t1_ok = (t1 > -1.0e-12) & (t1 < 1.0 + 1.0e-12)
+    t = jnp.where(t1_ok, t1, t2)
+    t = jnp.clip(t, 0.0, 1.0)
+    t = jnp.where(jnp.abs(1.0 - t) < 1.0e-14, 0.0, t)
+    t = jnp.where(pre < eps_p, t, 1.0)
+    theta2 = jnp.min(t, axis=0)                     # [*sp]
+    return [jnp.stack([slabs[0][ci] * theta2 + ub[ci] * (1.0 - theta2)
+                       for ci in range(4)])] + \
+        [slabs[kk] * theta2[None] for kk in range(1, K)]
+
+
 def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
                   collocated=True, Q=None, ny_true=None, nx_true=None,
-                  source=None, wb_iso=False, inv_dx=None, inv_dy=None):
+                  source=None, wb_iso=False, inv_dx=None, inv_dy=None,
+                  modal_tp=False):
     from dflo_tpu.physics.fluxes import get_flux
     num_flux = get_flux(flux_name, kernel_safe=True)
     refs = list(refs)
@@ -215,6 +280,15 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
         # (src_gll/assemble_explicit.cc:30-135)
         phi_ref = refs[9]
         del refs[9:10]
+    if modal_tp:
+        # one-pass MOOD candidate: per-cell degree map tile + its halo
+        # strips (same BlockSpec scheme as the state), and the [dt] scalar;
+        # the kernel applies {Pk truncation -> positivity} to the state AND
+        # every consumed halo strip before tracing, then emits
+        # u_t + dt * R(u_t) directly (stab/mood.py candidate() as ONE
+        # VMEM pass instead of the separate trunc+pos kernel + blend pass)
+        (deg_ref, dup_ref, ddn_ref, dlf_ref, drt_ref, tp_sc_ref) = refs[9:15]
+        del refs[9:15]
     if blend:
         # extra inputs: the previous-step state tile + [a, dt] scalars;
         # the kernel then emits the complete SSP stage
@@ -244,6 +318,14 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
 
     W = u_ref[:]
     c, k, ty, tx = W.shape
+    if modal_tp:
+        # {truncation -> positivity} on the state tile BEFORE tracing: the
+        # candidate is evaluated at u_t, exactly stab/mood.py candidate()
+        tp_kw = dict(mode_deg=ops["mode_deg"], avg0=ops["avg0"],
+                     P_np=ops["P"], dtype=W.dtype)
+        W = jnp.stack(
+            _modal_tp_slabs([W[:, kk] for kk in range(K)], deg_ref[:],
+                            **tp_kw), axis=1)
     uW, uE, uS, uN, ub = traces(W)
     # Halo inputs arrive as STRIPS, not whole neighbor tiles: only one face
     # row/column of each neighbor is ever consumed.  lf/rt fetch the
@@ -252,30 +334,38 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
     # (Mosaic's 8-sublane block rule forbids 1-row blocks of u itself).
     # Net: ~5x less halo HBM traffic than full tiles (VERDICT r2 weak #2).
 
-    def row_trace(tile_ref, side):
+    def row_trace(tile_ref, side, dg_row=None):
         """face trace + avg of a [1,c,1,k,tx] row strip
-        -> [c,nq,1,tx],[c,1,tx]."""
+        -> [c,nq,1,tx],[c,1,tx].  dg_row [1,tx]: tp the strip first."""
         slabs = [tile_ref[0, :, :, kk, :] for kk in range(K)]   # [c,1,tx]
+        if dg_row is not None:
+            slabs = _modal_tp_slabs(slabs, dg_row, **tp_kw)
         face = jnp.stack(_cmm(faceV[side], slabs), axis=1)   # [c,nq,1,tx]
         ab = _cmm(avg_row, slabs)[0]                         # [c,1,tx]
         return face, ab
 
-    def col_trace(tile_ref, side, last):
+    def col_trace(tile_ref, side, last, dg_ref=None):
         """face trace + avg of ONE column of an edge strip
-        -> [c,nq,ty,1],[c,ty,1]."""
+        -> [c,nq,ty,1],[c,ty,1].  dg_ref [ty,sx]: tp the column first."""
         sx = tile_ref.shape[-1]
         cc = sx - 1 if last else 0
         slabs = [tile_ref[:, kk, :, cc:cc + 1] for kk in range(K)]
+        if dg_ref is not None:
+            slabs = _modal_tp_slabs(slabs, dg_ref[:, cc:cc + 1], **tp_kw)
         face = jnp.stack(_cmm(faceV[side], slabs), axis=1)
         ab = _cmm(avg_row, slabs)[0]
         return face, ab
 
     # up strip: its NORTH face (the neighbor's last row); dn strip: SOUTH
     # face (first row); lf/rt strips: the single adjacent column's E/W face
-    up_uN_last, up_ub_last = row_trace(up_ref, 3)          # [c,nq,1,tx]
-    dn_uS_first, dn_ub_first = row_trace(dn_ref, 2)
-    lf_uE, lf_ub = col_trace(lf_ref, 1, last=True)         # [c,nq,ty,1]
-    rt_uW, rt_ub = col_trace(rt_ref, 0, last=False)
+    dgu = dup_ref[0] if modal_tp else None
+    dgd = ddn_ref[0] if modal_tp else None
+    up_uN_last, up_ub_last = row_trace(up_ref, 3, dgu)     # [c,nq,1,tx]
+    dn_uS_first, dn_ub_first = row_trace(dn_ref, 2, dgd)
+    lf_uE, lf_ub = col_trace(lf_ref, 1, last=True,
+                             dg_ref=dlf_ref[:] if modal_tp else None)
+    rt_uW, rt_ub = col_trace(rt_ref, 0, last=False,
+                             dg_ref=drt_ref[:] if modal_tp else None)
     # halo shifts as roll + iota-select: measured FASTER under Mosaic than
     # the "obvious" concat+slice single-op form (bench r3: concat cost ~4%
     # RK / ~5% MOOD — lane-axis concatenation lowers to a worse shuffle
@@ -464,7 +554,11 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
 
     if masked:
         R = R * m_c[None, None]                     # solid cells are frozen
-    if blend:
+    if modal_tp:
+        # the complete forward-Euler MOOD candidate u_t + dt R(u_t) —
+        # W here IS the tp'd state (src/mood.cc:436-489's re-update)
+        out_ref[:] = W + tp_sc_ref[0] * R
+    elif blend:
         a = sc_ref[0]
         dt = sc_ref[1]
         out_ref[:] = a * uold_ref[:] + (1.0 - a) * (W + dt * R)
@@ -479,7 +573,8 @@ _PAD_STATE = (0.0, 0.0, 1.0, 2.5)
 
 def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                         per_y: bool, dtype=jnp.float32, mask=None,
-                        source=None, well_balanced=None, potential=None):
+                        source=None, well_balanced=None, potential=None,
+                        modal_tp: bool = False):
     """Build fused(u, dfw, dfe, dfs, dfn) -> M^{-1} R(u) for any
     diagonal-mass basis on a Cartesian mesh (the bench/production hot path):
     collocated Qk/Qk_gll directly, modal Pk (the MOOD basis,
@@ -522,6 +617,23 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     }
     if not collocated:
         ops["V"] = np.asarray(basis.V, np.float64)
+    if modal_tp:
+        # one-pass MOOD candidate constants: positivity-point evaluation,
+        # per-mode total degree, and the mode-0 mean weight (Legendre mode 0
+        # IS the cell mean, checked below)
+        from dflo_tpu.stab.positivity import _pos_points
+        if basis.family != "Pk":
+            raise ValueError("modal_tp needs a modal (Pk) basis")
+        if source is not None or well_balanced is not None:
+            raise ValueError("modal_tp composes with neither body forces "
+                             "nor well-balanced gravity (the MOOD tree has "
+                             "no source examples, src/parameters.cc:536)")
+        avg_full = np.asarray(basis.wq2 @ basis.V)
+        assert np.abs(avg_full[1:]).max() < 1e-13, "mode 0 must be the mean"
+        ops["P"] = np.asarray(basis.eval_at(_pos_points(basis.degree)),
+                              np.float64)
+        ops["mode_deg"] = [int(d) for d in basis.mode_degree]
+        ops["avg0"] = float(avg_full[0])
     ny_true, nx_true = mesh.ny, mesh.nx
     pad_y = _pad_y(ny_true)
     if source is not None:
@@ -595,7 +707,8 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
     @functools.partial(jax.jit,
                        static_argnames=("interpret", "blend"))
     def fused(u, dfw, dfe, dfs, dfn, u_old=None, scalars=None, t=None,
-              xq=None, yq=None, interpret=False, blend=False):
+              xq=None, yq=None, deg=None, dt_tp=None, interpret=False,
+              blend=False):
         if pad_y:
             c_, k_, _, nx_ = u.shape
             pad = jnp.broadcast_to(pad_coeff[:, :, None, None],
@@ -603,6 +716,11 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
             u = jnp.concatenate([u, pad], axis=2)
             if u_old is not None:
                 u_old = jnp.concatenate([u_old, pad], axis=2)
+            if deg is not None:
+                # pad rows at degree 0: only the constant mode of the
+                # benign pad state survives the in-kernel truncation
+                deg = jnp.concatenate(
+                    [deg, jnp.zeros((pad_y, nx_), deg.dtype)], axis=0)
         c, k, ny, nx = u.shape
         TY = _pick_ty(ny)
         TX = _pick_tx(nx)
@@ -694,6 +812,31 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
             in_specs += [pl.BlockSpec((K, TY, TX), lambda i, j: (0, i, j),
                                       memory_space=pltpu.VMEM)]
             args += [phi_pl]
+        if modal_tp and deg is not None:
+            # degree-map tile + halo strips, mirroring the state's scheme
+            # (up/dn rows keyed by tile index, lf/rt 128-lane edge blocks),
+            # plus the [dt] forward-Euler scalar
+            deg3 = deg.reshape(ni, TY, nx)
+            in_specs += [pl.BlockSpec((TY, TX), lambda i, j: (i, j),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((1, 1, TX),
+                                      lambda i, j: ((i - 1) % ni, 0, j),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((1, 1, TX),
+                                      lambda i, j: ((i + 1) % ni, 0, j),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((TY, SX),
+                                      lambda i, j: (i,
+                                                    ((j - 1) % nj) * r
+                                                    + r - 1),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((TY, SX),
+                                      lambda i, j: (i, ((j + 1) % nj) * r),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((1,), lambda i, j: (0,),
+                                      memory_space=pltpu.SMEM)]
+            args += [deg, deg3[:, TY - 1:TY, :], deg3[:, 0:1, :], deg, deg,
+                     jnp.reshape(jnp.asarray(dt_tp, u.dtype), (1,))]
         if blend:
             in_specs += [spec_u,
                          pl.BlockSpec((2,), lambda i, j: (0,),
@@ -705,6 +848,7 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                               per_x=per_x, per_y=per_y_kernel, blend=blend,
                               masked=masked, collocated=collocated, Q=Q,
                               source=source, wb_iso=wb_iso,
+                              modal_tp=modal_tp and deg is not None,
                               inv_dx=1.0 / mesh.dx, inv_dy=1.0 / mesh.dy,
                               # true dims from the CALL shape (the sharded
                               # path hands per-device local blocks)
@@ -718,11 +862,19 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
         return out[:, :, :ny - pad_y, :] if pad_y else out
 
     def fused_residual(u, dfw, dfe, dfs, dfn, u_old=None, a=None, dt=None,
-                       t=None, xq=None, yq=None):
+                       t=None, xq=None, yq=None, deg=None):
         """R(u) (mass-solved), or with (u_old, a, dt) the full SSP stage
-        a*u_old + (1-a)*(u + dt*R).  t feeds the in-kernel body force (only
-        consumed when the builder got a source); xq/yq override the
-        coordinate planes with device-local slices on the sharded path."""
+        a*u_old + (1-a)*(u + dt*R).  With (deg, dt) on a modal_tp builder:
+        the ONE-PASS MOOD candidate u_t + dt*R(u_t), u_t = {Pk truncation
+        -> positivity}(u) applied in VMEM — the caller must compute the
+        boundary strips from the SAME u_t edge lines (tp_line below).
+        t feeds the in-kernel body force (only consumed when the builder
+        got a source); xq/yq override the coordinate planes with
+        device-local slices on the sharded path."""
+        if deg is not None:
+            assert modal_tp and u_old is None
+            return fused(u, dfw, dfe, dfs, dfn, t=t, xq=xq, yq=yq,
+                         deg=deg, dt_tp=dt, interpret=_interpret())
         if u_old is None:
             return fused(u, dfw, dfe, dfs, dfn, t=t, xq=xq, yq=yq,
                          interpret=_interpret())
@@ -731,6 +883,21 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
                      interpret=_interpret(), blend=True)
 
     fused_residual.pad_y = pad_y
+    if modal_tp:
+        _tp_kw = dict(mode_deg=ops["mode_deg"], avg0=ops["avg0"],
+                      P_np=ops["P"], dtype=dtype)
+
+        def tp_line(x, dg):
+            """XLA twin of the kernel's in-VMEM {truncation -> positivity}
+            for a [4, K, L] DoF edge line with per-cell degrees dg [L]: the
+            O(boundary) strip inputs must see the SAME u_t the kernel
+            traces (same _modal_tp_slabs body, so the math is identical up
+            to XLA-vs-Mosaic FMA reassociation)."""
+            slabs = _modal_tp_slabs([x[:, kk] for kk in range(K)],
+                                    dg, **_tp_kw)
+            return jnp.stack(slabs, axis=1)
+
+        fused_residual.tp_line = tp_line
     return fused_residual
 
 
@@ -1247,6 +1414,11 @@ def make_fused_post_sharded(basis, mesh, device_mesh, *,
     ly, lx = mesh.ny // DY, mesh.nx // DX
     if ly % 8:
         raise ValueError("sharded fused post needs ny/DY % 8 == 0")
+    if lx % 128:
+        # matches the driver's tiles_ok envelope: per-device blocks must be
+        # lane-tile aligned — the device_edges + ragged-lx combination is
+        # untested and unsupported
+        raise ValueError("sharded fused post needs nx/DX % 128 == 0")
     if not fused_shape_ok(ly, lx):
         raise ValueError(f"per-device block {ly}x{lx} outside the fused "
                          "kernel envelope")
@@ -1266,7 +1438,19 @@ def make_fused_post_sharded(basis, mesh, device_mesh, *,
     def _pack(x, face):
         """[c, K, L] k-resolved edge line -> [c, nq+1, L] pack of the
         wq-weighted face trace (rows 0..nq-1) + cell average (row nq) —
-        exactly the quantities the kernel's row_trace/col_trace compute."""
+        exactly the quantities the kernel's row_trace/col_trace compute.
+
+        Precision note: these packs are contracted HERE with an XLA einsum
+        (Precision.HIGHEST) while the kernel computes its own-side traces
+        with `_cmm` unrolled FMAs, so 1-vs-N device states agree to f32
+        reassociation roundoff, not bitwise (the reference's MPI ghost
+        exchange copies DoFs verbatim and is bit-identical to serial,
+        src_mpi/claw.cc:793).  A near-tie indicator/minmod decision at a
+        block edge can therefore flip vs single chip in f32; physics-level
+        results are unaffected (both sides satisfy the same limiter
+        bounds).  Bit-parity would require shipping the raw K-row DoF edge
+        lines and tracing in-kernel — deliberately not done: +K/(nq+1)x
+        edge bytes for no accuracy gain."""
         tr = jnp.einsum("qk,ckl->cql", fVw[face], x, precision=HI)
         av = jnp.einsum("k,ckl->cl", avg_vec, x, precision=HI)
         return jnp.concatenate([tr, av[:, None]], axis=1)

@@ -53,23 +53,23 @@ class NewtonInfo(NamedTuple):
     res: jax.Array        # ||F|| entering the last performed iteration
     iters: jax.Array      # Newton iterations performed
     diverged: jax.Array   # bool: non-finite or res > 1e6 * res0
+    lin_res: jax.Array    # achieved RELATIVE linear residual of the last
+                          # GMRES solve, ||A du + F|| / ||F|| — the analog
+                          # of the reference's printed convergence.second
+                          # (src/claw.cc:686, 913-914); compare against
+                          # lin_tol for the warn-and-continue check
+                          # (src/claw.cc:677-687)
 
 
-def make_block_jacobi(f_lin: Callable, u, n_comp: int = 4):
-    """Per-cell block-Jacobi preconditioner for the Newton system.
+def _probe_blocks(f_lin: Callable, u, n_comp: int = 4):
+    """Per-cell diagonal blocks of a LINEAR cell-local operator.
 
-    Replaces the reference's BlockSSOR/ILUT preconditioning of the assembled
-    Trilinos matrix (src/claw.cc:666-691): the exact per-cell diagonal block
-    of dF/du is extracted with n_comp*K applications of the LINEARIZED
-    operator `f_lin` (the jax.linearize of F at the current iterate, so the
-    nonlinear primal is evaluated once, not once per probe column) — one per
-    LOCAL DoF index, seeding that index in EVERY cell simultaneously; by
-    locality of the DG operator, the response within each cell is exactly
-    its diagonal block (cross-cell responses land in off-diagonal blocks we
-    discard).  Returns Minv(v) applying the batched dense block inverses.
-
-    Layout-agnostic: u is [c, K, *spatial] — (c, K, ny, nx) on the
-    structured paths, (c, K, N) on the unstructured flat-cell path."""
+    The blocks are extracted with n_comp*K applications of `f_lin` — one
+    per LOCAL DoF index, seeding that index in EVERY cell simultaneously;
+    by locality of the DG operator, the response within each cell is
+    exactly its diagonal block (cross-cell responses land in off-diagonal
+    blocks we discard).  Returns J [M, n(row), n(col)], M = number of
+    cells in C-order over the spatial axes, n = n_comp*K."""
     c, K = u.shape[0], u.shape[1]
     sp = u.shape[2:]
     n = c * K
@@ -81,15 +81,62 @@ def make_block_jacobi(f_lin: Callable, u, n_comp: int = 4):
 
     cols = jax.lax.map(column, jnp.arange(n))        # [n(col), c, K, *sp]
     J = cols.reshape(n, n, -1)                       # [n(col), n(row), M]
-    J = jnp.transpose(J, (2, 1, 0))                  # [M, n(row), n(col)]
-    Jinv = jnp.linalg.inv(J)                         # batched [M, n, n]
+    return jnp.transpose(J, (2, 1, 0))               # [M, n(row), n(col)]
+
+
+def _blocks_minv(Jinv, u_shape):
+    """Closure applying batched dense per-cell block inverses [M, n, n]."""
+    n = Jinv.shape[-1]
 
     def Minv(v):
         vb = jnp.transpose(v.reshape(n, -1), (1, 0))             # [M, n]
         out = jnp.einsum("mij,mj->mi", Jinv, vb, precision=PRECISION)
-        return jnp.transpose(out, (1, 0)).reshape(u.shape)
+        return jnp.transpose(out, (1, 0)).reshape(u_shape)
 
     return Minv
+
+
+def make_block_jacobi(f_lin: Callable, u, n_comp: int = 4):
+    """Per-cell block-Jacobi preconditioner for the Newton system.
+
+    Replaces the reference's BlockSSOR/ILUT preconditioning of the assembled
+    Trilinos matrix (src/claw.cc:666-691): the exact per-cell diagonal block
+    of dF/du is probed through the LINEARIZED operator `f_lin` (the
+    jax.linearize of F at the current iterate, so the nonlinear primal is
+    evaluated once, not once per probe column).  Returns Minv(v) applying
+    the batched dense block inverses.
+
+    Layout-agnostic: u is [c, K, *spatial] — (c, K, ny, nx) on the
+    structured paths, (c, K, N) on the unstructured flat-cell path."""
+    J = _probe_blocks(f_lin, u, n_comp)
+    return _blocks_minv(jnp.linalg.inv(J), u.shape)
+
+
+def probe_rhs_blocks(rhs: Callable, u, t, n_comp: int = 4):
+    """Per-cell diagonal blocks of the SPATIAL operator dR/du at u.
+
+    Used to LAG the block-Jacobi preconditioner across Newton iterations
+    and pseudo-transient steps (the reference rebuilds its preconditioner
+    from the freshly assembled matrix every Newton iteration,
+    src/claw.cc:666-691 — pure overhead when the steady iterates barely
+    move): the probes (n_comp*K rhs linearizations — by far the dominant
+    cost) are reused, while the cheap per-step dt diagonal shift
+    I/dt - theta*J_R is rebuilt and re-inverted every step."""
+    _, Rlin = jax.linearize(lambda v: rhs(v, t), u)
+    return _probe_blocks(Rlin, u, n_comp)
+
+
+def _lagged_minv(jr_blocks, dtb, theta, u_shape, dtype):
+    """Block-Jacobi inverse of I/dt - theta*J_R from lagged rhs blocks.
+
+    dtb: scalar dt or per-cell field over the spatial axes (local
+    pseudo-transient stepping); flattened in the same C-order as the
+    probe's cell axis."""
+    M, n, _ = jr_blocks.shape
+    dt_flat = jnp.broadcast_to(jnp.asarray(dtb, dtype), u_shape[2:]).reshape(-1)
+    eye = jnp.eye(n, dtype=dtype)
+    J = eye[None] / dt_flat[:, None, None] - theta * jr_blocks
+    return _blocks_minv(jnp.linalg.inv(J), u_shape)
 
 
 def make_implicit_step(rhs: Callable, theta: float = 1.0,
@@ -107,18 +154,36 @@ def make_implicit_step(rhs: Callable, theta: float = 1.0,
     'block_jacobi' (exact per-cell diagonal blocks, the matrix-free analog
     of the reference's block preconditioners).  post_update, when given, is
     the driver's stabilization chain u -> u, applied after EVERY Newton
-    update exactly where the reference limits (src/claw.cc:905-911)."""
+    update exactly where the reference limits (src/claw.cc:905-911).
 
-    def step(u_old, t, dt):
+    step(u_old, t, dt, u_guess=None, jr_blocks=None):
+      u_guess    — Newton start iterate; the driver passes the extrapolated
+                   predictor 2u - u_old for global time stepping
+                   (src/claw.cc:1063-1065, 1101-1108); default u_old.
+      jr_blocks  — lagged dR/du per-cell blocks from probe_rhs_blocks; when
+                   given (with precondition='block_jacobi'), the expensive
+                   Jacobian probes are skipped and the preconditioner is
+                   rebuilt only through the cheap I/dt - theta*J_R shift."""
+
+    def step(u_old, t, dt, u_guess=None, jr_blocks=None):
         dtb = jnp.asarray(dt)
+        dt_raw = dtb
         if dtb.ndim > 0:
             # per-cell field ([ny, nx] structured, [N] unstructured) ->
             # broadcast over the (component, DoF) axes
             dtb = dtb[None, None]
+        u0 = u_old if u_guess is None else u_guess
 
         def F(v):
             w = theta * v + (1.0 - theta) * u_old
             return (v - u_old) / dtb - rhs(w, t)
+
+        M_lagged = None
+        if precondition == "block_jacobi" and jr_blocks is not None:
+            # one batched inverse per STEP (dt-shift only); the probe cost
+            # is amortized across steps by the caller
+            M_lagged = _lagged_minv(jr_blocks, dt_raw, theta,
+                                    u_old.shape, u_old.dtype)
 
         def newton_update(u, Fv, res):
             # one linearization point shared by the Krylov operator and the
@@ -127,24 +192,42 @@ def make_implicit_step(rhs: Callable, theta: float = 1.0,
             # one-hot tangents through the nonlinear F would evaluate F at
             # a one-hot state, not a Jacobian column)
             _, Av = jax.linearize(F, u)
-            M = make_block_jacobi(Av, u) if precondition == "block_jacobi" \
-                else None
+            if M_lagged is not None:
+                M = M_lagged
+            elif precondition == "block_jacobi":
+                M = make_block_jacobi(Av, u)
+            else:
+                M = None
             # relative linear tolerance lin_tol * ||F|| (src/claw.cc:669-670)
             du, _info = jax.scipy.sparse.linalg.gmres(
                 Av, -Fv, tol=lin_tol, atol=0.0,
                 restart=gmres_restart, maxiter=gmres_maxiter,
                 solve_method="batched", M=M)
+            # achieved relative linear residual (jax.scipy's gmres returns
+            # no convergence info; one extra JVP application recovers the
+            # reference's printed/warn-checked residual, src/claw.cc:677-687).
+            # Measured in the LEFT-PRECONDITIONED norm ||M r|| / ||M F|| —
+            # the metric gmres's own convergence test uses, so a converged
+            # solve reports <= lin_tol (the plain ||r||/||F|| can sit above
+            # tol whenever M is nontrivial)
+            rvec = Av(du) + Fv
+            if M is not None:
+                rvec, Fn = M(rvec), M(Fv)
+            else:
+                Fn = Fv
+            lin_res = jnp.sqrt(jnp.sum(rvec ** 2)) / \
+                jnp.maximum(jnp.sqrt(jnp.sum(Fn ** 2)), 1e-300)
             u = u + du
             if post_update is not None:
                 u = post_update(u, t)
-            return u
+            return u, lin_res
 
         if max_newton == 1:
             # common unsteady case (`nonlinear iterations = 1`): skip the
             # while_loop plumbing, keep one straight-line trace
-            Fv = F(u_old)
+            Fv = F(u0)
             res0 = jnp.sqrt(jnp.sum(Fv ** 2))
-            u = newton_update(u_old, Fv, res0)
+            u, lin_res = newton_update(u0, Fv, res0)
             iters, dv = jnp.asarray(1), jnp.asarray(False)
         else:
             # reference loop shape (src/claw.cc:892-930): assemble -> res ->
@@ -153,35 +236,38 @@ def make_implicit_step(rhs: Callable, theta: float = 1.0,
             # last executed iteration, so the continue test matches the
             # reference's pre-update residual check.
             def cond(carry):
-                _u, res, _res0, it, div = carry
+                _u, res, _res0, it, div, _lr = carry
                 return (it < max_newton) & (res > newton_atol) & ~div
 
             def body(carry):
-                u, _res, res0, it, div = carry
+                u, _res, res0, it, div, lr = carry
                 Fv = F(u)
                 res = jnp.sqrt(jnp.sum(Fv ** 2))
                 res0 = jnp.where(it == 0, res, res0)
                 div = div | ~jnp.isfinite(res) | \
                     (res > DIVERGENCE_FACTOR * jnp.maximum(res0, 1e-300))
-                u = jnp.where(div, u, newton_update(u, Fv, res))
-                return u, res, res0, it + 1, div
+                u_new, lr_new = newton_update(u, Fv, res)
+                u = jnp.where(div, u, u_new)
+                lr = jnp.where(div, lr, lr_new)
+                return u, res, res0, it + 1, div, lr
 
             big = jnp.asarray(jnp.inf, u_old.dtype)
-            u, _res, res0, iters, dv = jax.lax.while_loop(
+            u, _res, res0, iters, dv, lin_res = jax.lax.while_loop(
                 cond, body,
-                (u_old, big, big, jnp.asarray(0), jnp.asarray(False)))
+                (u0, big, big, jnp.asarray(0), jnp.asarray(False),
+                 jnp.zeros((), u_old.dtype)))
 
         final = jnp.sqrt(jnp.sum(F(u) ** 2))
         diverged = dv | ~jnp.isfinite(final) | \
             (final > DIVERGENCE_FACTOR * jnp.maximum(res0, 1e-300))
-        return u, NewtonInfo(res0, final, iters, diverged)
+        return u, NewtonInfo(res0, final, iters, diverged, lin_res)
 
     return step
 
 
 def run_steady(solver, u, cfl0: float | None = None,
                min_residual: float = 1e-10, max_steps: int = 2000,
-               verbose: bool = False):
+               verbose: bool = False, jacobi_lag: int = 1):
     """Pseudo-transient continuation to steady state: local per-cell dt,
     backward-Euler Newton steps, CFL ramped by the residual-history factor
     clamped to [0.5, 2] (src/claw.cc:1079-1090).
@@ -189,17 +275,29 @@ def run_steady(solver, u, cfl0: float | None = None,
     `solver` is a dflo_tpu.driver.Solver built with method='implicit'.
     Aborts with FloatingPointError on Newton divergence, the host-side
     equivalent of the reference's AssertThrow (src/claw.cc:919-923).
+    A non-convergent linear solve only warns and continues, matching the
+    reference (src/claw.cc:677-687).
+
+    jacobi_lag > 1 (with precondition='block_jacobi') re-probes the
+    per-cell dR/du blocks only every `jacobi_lag` steps; in between, the
+    preconditioner is rebuilt through the cheap I/dt - theta*J_R shift.
     Returns (u, residual_history)."""
     cfl = cfl0 if cfl0 is not None else solver.cfl
     history = []
     step = solver._implicit_step
+    lin_tol = getattr(solver, "linear_residual", 1e-4)
+    use_lag = (jacobi_lag > 1
+               and getattr(solver, "precondition", None) == "block_jacobi")
 
     curvi = getattr(solver, "curvilinear", False)
     if curvi:
         h_field = jnp.asarray(solver.mesh.cell_h())
 
+    probe = jax.jit(lambda v: probe_rhs_blocks(solver.rhs, v, 0.0)) \
+        if use_lag else None
+
     @jax.jit
-    def one(u, cfl):
+    def one(u, cfl, jr=None):
         ubar = solver.cell_averages(u)
         if curvi:
             from dflo_tpu.physics import euler as _euler
@@ -207,26 +305,35 @@ def run_steady(solver, u, cfl0: float | None = None,
             dtc = h_field / lam / (2.0 * solver.basis.degree + 1.0)
         else:
             dtc = rk_mod.local_dt(ubar, solver.mesh, solver.basis.degree, 1.0)
-        u_new, info = step(u, 0.0, dtc * cfl)
+        u_new, info = step(u, 0.0, dtc * cfl, jr_blocks=jr)
         # convergence is measured on the SPATIAL residual ||R(u)||, the
         # steady-state defect (the reference's res_norm approaches this as
         # the CFL ramp sends dt -> inf)
         res = jnp.sqrt(jnp.sum(solver.rhs(u_new, 0.0) ** 2))
-        return u_new, res, info.diverged
+        return u_new, res, info.diverged, info.lin_res
 
+    jr = None
     for it in range(max_steps):
-        u, res, diverged = one(u, cfl)
+        if use_lag and it % jacobi_lag == 0:
+            jr = probe(u)
+        u, res, diverged, lin_res = one(u, cfl, jr)
         res = float(res)
         if bool(diverged) or not (res == res):     # NaN-safe
             raise FloatingPointError(
                 f"Newton divergence at steady iteration {it} "
                 f"(src/claw.cc:919-923 abort)")
+        if float(lin_res) > lin_tol * 1.001:
+            # tolerated non-convergence: warn and continue
+            # (src/claw.cc:677-687 "solver did not converge!")
+            print(f"  WARNING: linear solver did not converge at steady "
+                  f"it={it} (achieved {float(lin_res):.2e} > {lin_tol:.0e})")
         if it >= 2:
             factor = min(max(history[-1] / res, 0.5), 2.0)
             cfl *= factor
         history.append(res)
         if verbose and it % 10 == 0:
-            print(f"  steady it={it:5d} res={res:.3e} cfl={cfl:.2f}")
+            print(f"  steady it={it:5d} res={res:.3e} cfl={cfl:.2f} "
+                  f"lin_res={float(lin_res):.1e}")
         if res < min_residual:
             break
     return u, history
@@ -236,7 +343,7 @@ def run_steady_sequenced(solver, coarse_solver, u, *, cfl0: float | None = None,
                          min_residual: float = 1e-10, max_steps: int = 2000,
                          coarse_residual: float | None = None,
                          coarse_max_steps: int | None = None,
-                         verbose: bool = False):
+                         verbose: bool = False, jacobi_lag: int = 1):
     """Grid-sequenced pseudo-transient continuation (FMG-style).
 
     Plain PTC from an impulsive start limit-cycles on fine meshes with
@@ -261,10 +368,12 @@ def run_steady_sequenced(solver, coarse_solver, u, *, cfl0: float | None = None,
     if verbose:
         print("  [grid sequencing: 2x-coarse companion first]")
     uc, hc = run_steady(coarse_solver, uc, cfl0=cfl0, min_residual=cr,
-                        max_steps=cms, verbose=verbose)
+                        max_steps=cms, verbose=verbose,
+                        jacobi_lag=jacobi_lag)
     uf = make_prolong(solver.basis, u.dtype)(uc)
     if verbose:
         print("  [grid sequencing: prolonged to the fine mesh]")
     u, hist = run_steady(solver, uf, cfl0=cfl0, min_residual=min_residual,
-                         max_steps=max_steps, verbose=verbose)
+                         max_steps=max_steps, verbose=verbose,
+                         jacobi_lag=jacobi_lag)
     return u, hc + hist

@@ -281,8 +281,10 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
         # from block-wrap flux to true neighbor flux — with one device
         # along an axis the ppermute is a self-send and the delta
         # degenerates to exactly zero
+        modal_tp = basis.family == "Pk" and source is None
         fused_res = make_fused_residual(basis, mesh, flux, False, False,
-                                        dtype, mask=None, source=source)
+                                        dtype, mask=None, source=source,
+                                        modal_tp=modal_tp)
         avg_vec = cast(basis.wq2 @ basis.V)
         from dflo_tpu.parallel.sharding import mesh_grid_shape, mesh_y_axes
         # y may be split over several mesh axes — ('slice', 'dy') on a
@@ -321,14 +323,21 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
             A = jnp.broadcast_to(ubar_b[:, None, :], trace.shape)
             return num_flux(trace, ghost, nrm_x, nrm_y, AL=A, AR=A)
 
-        def _local_strips(u_loc, t):
+        def _local_strips(u_loc, t, deg_loc=None):
             """Per-device delta-flux strips: true edge flux minus the
             block-wrap flux the kernel will use, neighbor traces via
-            ppermute."""
+            ppermute.  deg_loc (one-pass MOOD candidate): tp the edge DoF
+            lines BEFORE tracing/permuting, so both this device's strips
+            and its neighbors' received traces see the same u_t the
+            kernel computes in VMEM."""
             iy = jax.lax.axis_index(YAX)
             ix = jax.lax.axis_index(XAX)
+            tp = fused_res.tp_line if deg_loc is not None else None
             # ---- x edges -------------------------------------------------
             c0, cl = u_loc[:, :, :, 0], u_loc[:, :, :, -1]
+            if tp is not None:
+                c0 = tp(c0, deg_loc[:, 0])
+                cl = tp(cl, deg_loc[:, -1])
             uW0 = jnp.einsum("qk,cky->cqy", faceV[WEST], c0,
                              precision=PRECISION)
             uEl = jnp.einsum("qk,cky->cqy", faceV[EAST], cl,
@@ -362,6 +371,9 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
             dfe = FtE - Fwrap_x
             # ---- y edges -------------------------------------------------
             r0, rl = u_loc[:, :, 0], u_loc[:, :, -1]
+            if tp is not None:
+                r0 = tp(r0, deg_loc[0])
+                rl = tp(rl, deg_loc[-1])
             uS0 = jnp.einsum("qk,ckx->cqx", faceV[SOUTH], r0,
                              precision=PRECISION)
             uNl = jnp.einsum("qk,ckx->cqx", faceV[NORTH], rl,
@@ -445,14 +457,44 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                                  jnp.asarray(dt, dtype))
 
         rhs_fused.stage = stage_fused
+
+        if modal_tp:
+            def _local_cand(u_loc, deg_loc, t, dt):
+                return fused_res(u_loc, *_local_strips(u_loc, t, deg_loc),
+                                 deg=deg_loc, dt=dt,
+                                 t=jnp.asarray(t, dtype))
+
+            cand_sharded = shard_map(
+                _local_cand, mesh=device_mesh,
+                in_specs=(spec_u, P(YAX, XAX), P(), P()),
+                out_specs=spec_u, check_vma=False)
+
+            def mood_candidate(u: Array, t, dt, deg) -> Array:
+                """Sharded one-VMEM-pass MOOD candidate u_t + dt*R(u_t):
+                per-device fused kernel with in-kernel {truncation ->
+                positivity}, cross-device edge traces tp'd locally then
+                ppermuted (the neighbor receives u_t's trace, exactly what
+                the reference's ghost exchange would carry after its
+                re-update, src/claw.cc:806-852)."""
+                return cand_sharded(u, deg, jnp.asarray(t, dtype),
+                                    jnp.asarray(dt, dtype))
+
+            rhs_fused.mood_candidate = mood_candidate
         return rhs_fused
 
     if volume_kernel == "fused":
         from dflo_tpu.ops.pallas_kernels import make_fused_residual
+        # modal Pk builders additionally carry the in-kernel {truncation ->
+        # positivity} constants so the MOOD cascade's candidate is ONE
+        # VMEM pass (mood_candidate below); plain rhs/stage calls on the
+        # same builder are unaffected
+        modal_tp = (basis.family == "Pk" and source is None
+                    and well_balanced is None)
         fused_res = make_fused_residual(basis, mesh, flux, per_x, per_y,
                                         dtype, mask=mask, source=source,
                                         well_balanced=well_balanced,
-                                        potential=potential)
+                                        potential=potential,
+                                        modal_tp=modal_tp)
         # ragged ny: the kernel carries internal solid pad rows, so its
         # wrap flux at BOTH true y edges is the slip-wall mirror flux and
         # the delta strips must correct it — even for globally periodic y
@@ -473,13 +515,21 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                     jnp.where(wL, mirror(AR), AL),
                     jnp.where(wR, mirror(AL), AR))
 
-        def _strips(u: Array, t):
-            """O(boundary)-cost delta-flux strips for non-periodic sides."""
+        def _strips(u: Array, t, deg=None):
+            """O(boundary)-cost delta-flux strips for non-periodic sides.
+
+            deg (one-pass MOOD candidate): the per-cell degree map; the
+            edge DoF lines are {truncated -> positivity-limited} FIRST so
+            the strips see the same u_t the kernel traces in VMEM."""
+            tp = fused_res.tp_line if deg is not None else None
             ny_, nx_ = u.shape[-2:]
             if per_x:
                 dfw = dfe = jnp.zeros((4, nq, ny_), u.dtype)
             else:
                 c0, cl = u[:, :, :, 0], u[:, :, :, -1]
+                if tp is not None:
+                    c0 = tp(c0, deg[:, 0])
+                    cl = tp(cl, deg[:, -1])
                 uW0 = jnp.einsum("qk,cky->cqy", faceV[WEST], c0, precision=PRECISION)
                 uEl = jnp.einsum("qk,cky->cqy", faceV[EAST], cl, precision=PRECISION)
                 ub0 = jnp.einsum("k,cky->cy", avg_vec, c0, precision=PRECISION)
@@ -497,6 +547,9 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                 dfs = dfn = jnp.zeros((4, nq, nx_), u.dtype)
             else:
                 r0, rl = u[:, :, 0], u[:, :, -1]
+                if tp is not None:
+                    r0 = tp(r0, deg[0])
+                    rl = tp(rl, deg[-1])
                 uS0 = jnp.einsum("qk,ckx->cqx", faceV[SOUTH], r0, precision=PRECISION)
                 uNl = jnp.einsum("qk,ckx->cqx", faceV[NORTH], rl, precision=PRECISION)
                 ub0 = jnp.einsum("k,ckx->cx", avg_vec, r0, precision=PRECISION)
@@ -543,6 +596,19 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                              t=jnp.asarray(t, u.dtype))
 
         rhs_fused.stage = stage_fused
+
+        if modal_tp:
+            def mood_candidate(u: Array, t, dt, deg) -> Array:
+                """One-VMEM-pass forward-Euler MOOD candidate
+                u_t + dt*R(u_t), u_t = {Pk truncation -> positivity}(u)
+                applied in-kernel — the cascade's hot op
+                (src/claw.cc:806-852's re-update + src/mood.cc:174-191's
+                truncation) with no materialized u_t and no separate
+                blend pass."""
+                return fused_res(u, *_strips(u, t, deg), deg=deg, dt=dt,
+                                 t=jnp.asarray(t, u.dtype))
+
+            rhs_fused.mood_candidate = mood_candidate
         return rhs_fused
 
     def rhs(u: Array, t) -> Array:

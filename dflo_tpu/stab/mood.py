@@ -124,7 +124,18 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
 
     fused_trunc_pos: optional fused {truncation -> positivity} kernel
     (u, deg) -> u_t (ops/pallas_kernels.make_fused_modal_pos) replacing the
-    XLA truncation gather + positivity chain on TPU."""
+    XLA truncation gather + positivity chain on TPU.
+
+    Warm start: mood_stage(u_pre, t, dt, deg_in) with an int32 [ny, nx]
+    per-cell degree map starts the cascade AT deg_in instead of re-cascading
+    from p, and returns a 4-tuple (..., deg_settled) so the caller can carry
+    the map across stages/steps (the degree-recovery policy — when and by
+    how much carried degrees ratchet back up toward p — belongs to the
+    caller, see driver._mood_rk_step).  The reference re-cascades from full
+    degree every stage (src/mood.cc:436-489); warm start reaches the same
+    accepted states through strictly fewer candidate evaluations wherever
+    the settled map is stable between stages, at the price of testing
+    degree recovery only as often as the caller raises deg_in."""
     dtype = dtype or jnp.zeros(0).dtype
     if basis.family != "Pk":
         raise ValueError("MOOD is implemented only for Pk "
@@ -179,8 +190,16 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
         raise ValueError(f"unknown dmp_bounds {dmp_bounds!r}")
 
     use_fused = fused_trunc_pos is not None and positivity is not None
+    # Candidate form: {trunc -> pos} pass (fused kernel on TPU) followed by
+    # a plain XLA axpy on the rhs output.  Two "obvious" fusions were built
+    # and MEASURED SLOWER on v5e (see PERF.md negative results): the
+    # in-kernel a=0 SSP blend (rhs.stage — the extra u_old tile read costs
+    # more than the axpy it saves) and the one-pass modal_tp candidate
+    # kernel (rhs.mood_candidate — in-kernel tp of the tile + halo strips
+    # adds VPU work to an already compute-bound kernel).  Both entry points
+    # remain available and tested; no driver path uses them.
 
-    def mood_stage(u_pre, t, dt):
+    def mood_stage(u_pre, t, dt, deg_in=None):
         if use_fused or positivity is None:
             rho0 = rho_mean(u_pre)
             ubar0 = None            # full averages only feed XLA positivity
@@ -193,7 +212,10 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
             dmp_min = neighborhood_min(rho0, valid)
             dmp_max = neighborhood_max(rho0, valid)
 
-        deg0 = jnp.full(u_pre.shape[-2:], p, jnp.int32)
+        if deg_in is None:
+            deg0 = jnp.full(u_pre.shape[-2:], p, jnp.int32)
+        else:
+            deg0 = jnp.clip(deg_in.astype(jnp.int32), 1, p)
         lim0 = jnp.zeros(u_pre.shape[-2:], bool)
 
         def candidate(deg):
@@ -210,9 +232,9 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
                     u_t = positivity(u_t, ubar0)
             return u_t + dt * rhs(u_t, t)
 
-        def body(carry):
-            deg, lim, _, it, _ = carry
-            u_c = candidate(deg)
+        def check_update(deg, lim, u_c, it):
+            """DMP acceptance + degree-reduction/mark bookkeeping on a
+            candidate (apply_mood, src/mood.cc:290-491)."""
             rho = rho_mean(u_c)
             dmp = (rho - dmp_min > -DMP_EPS) & (rho - dmp_max < DMP_EPS)
             ok = dmp | u2_ok(u_c)
@@ -232,17 +254,35 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
             changed = jnp.any(red_self | red_nb)
             return (deg_new, lim_new, u_c, it + 1, changed)
 
+        def body(carry):
+            deg, lim, _, it, _ = carry
+            return check_update(deg, lim, candidate(deg), it)
+
         def cond(carry):
             _, _, _, it, changed = carry
             return changed & (it < max_iters)
 
-        carry = (deg0, lim0, jnp.zeros_like(u_pre), jnp.asarray(0),
-                 jnp.asarray(True))
+        # ---- pass 1, peeled out of the loop ---------------------------
+        # With deg_in None the entry degrees are p everywhere: truncation
+        # is the identity, and the positivity pre-limit is skipped too —
+        # the reference's first cascade pass assembles the UNMODIFIED stage
+        # predictor (src/claw.cc:806-812), and the driver chain positivity-
+        # limited u_pre one op earlier (src/claw.cc:866-869), so the
+        # {trunc -> pos} kernel was an identity costing a full VMEM pass
+        # per stage.  (Truncation-only XLA mood keeps its exact all-ones
+        # multiply semantics: u * 1 is bitwise u.)
+        if deg_in is None:
+            u_c0 = u_pre + dt * rhs(u_pre, t)
+        else:
+            u_c0 = candidate(deg0)
+        carry = check_update(deg0, lim0, u_c0, jnp.asarray(0))
         # each pass recomputes the candidate with the degrees as of pass
         # entry; on exit with changed == False that candidate is consistent
         # with the settled degree map, exactly the accepted MOOD state
         deg, lim, u_c, it, changed = jax.lax.while_loop(cond, body, carry)
         stats = MoodStats(jnp.sum(p - deg), jnp.sum(lim), it)
+        if deg_in is not None:
+            return u_c, lim, stats, deg
         return u_c, lim, stats
 
     return mood_stage

@@ -138,3 +138,142 @@ def test_block_jacobi_preconditioner_accelerates_stiff_solve():
             u, _ = step(u, 0.0, dt)
         out[pc] = float(jnp.sqrt(jnp.sum(rhs(u, 0.0) ** 2)))
     assert out["block_jacobi"] < 0.5 * out[None], out
+
+
+def test_predictor_extrapolation_reduces_newton_work():
+    """Seeding Newton with the extrapolated predictor 2u - u_old
+    (src/claw.cc:1063-1065, 1104-1108) cuts the residual ENTERING each
+    Newton solve on a smooth unsteady theta-scheme run — the predictor's
+    convergence effect (a second-order-accurate seed vs the first-order
+    u_old seed) — with at-most-equal iteration counts and the same Newton
+    fixed point."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(16, 16, -5.0, 5.0, -5.0, 5.0)
+    rhs = make_rhs(basis, mesh, PER_BCS, flux="roe")
+    vort = ic.isentropic_vortex()          # genuinely time-dependent
+    u0 = ic.set_initial_condition(basis, mesh, vort)
+    # the seed-error ratio pred/plain scales as dt*||u''||/||u'|| ~ dt*c/h:
+    # extrapolation wins when the time step RESOLVES the temporal scale
+    # (dt*omega < 1), the regime the reference's unsteady theta runs use
+    dt = float(compute_dt(cell_averages(basis, u0), mesh, 1, 1.0))
+
+    step = jax.jit(make_implicit_step(rhs, theta=0.5, max_newton=6,
+                                      lin_tol=1e-8, gmres_restart=30,
+                                      gmres_maxiter=8, newton_atol=1e-9))
+    # plain: every Newton starts at u_old
+    u, tot_plain, r0_plain = u0, 0, []
+    for i in range(4):
+        u, info = step(u, i * dt, dt)
+        assert not bool(info.diverged)
+        tot_plain += int(info.iters)
+        r0_plain.append(float(info.res0))
+    u_plain = u
+    # predictor: start at 2u - u_old carried across steps; the first step's
+    # seed is the solution itself (src/claw.cc:1003), so compare from step 2
+    u, pred, tot_pred, r0_pred = u0, u0, 0, []
+    for i in range(4):
+        un, info = step(u, i * dt, dt, u_guess=pred)
+        assert not bool(info.diverged)
+        tot_pred += int(info.iters)
+        r0_pred.append(float(info.res0))
+        pred = 2.0 * un - u
+        u = un
+    # the extrapolated seed cuts the entering residual on every
+    # predictor-seeded step (O(dt^2) vs O(dt) seed error), by >30% overall
+    assert all(rp < rq for rp, rq in zip(r0_pred[1:], r0_plain[1:])), \
+        (r0_pred, r0_plain)
+    assert sum(r0_pred[1:]) < 0.7 * sum(r0_plain[1:]), (r0_pred, r0_plain)
+    assert tot_pred <= tot_plain, (tot_pred, tot_plain)
+    # both trajectories hit the same Newton fixed point
+    np.testing.assert_allclose(np.array(u), np.array(u_plain),
+                               rtol=0, atol=1e-7)
+
+
+def test_linear_residual_reported():
+    """NewtonInfo.lin_res carries the achieved RELATIVE linear residual
+    (the reference prints and warn-checks it, src/claw.cc:677-687):
+    <= tol under a generous Krylov budget, > tol when the budget cannot
+    converge — the driver's warn-and-continue hook."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(12, 12, 0.0, 1.0, 0.0, 1.0)
+    far = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 0.5), jnp.zeros_like(x), jnp.ones_like(x),
+         jnp.full_like(x, 2.6)])
+    bcs = dict(W=BoundarySide(euler.BC_FARFIELD, far),
+               E=BoundarySide(euler.BC_FARFIELD, far),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+    rhs = make_rhs(basis, mesh, bcs, flux="roe")
+
+    def pert(x, y, t=0.0):
+        b = 0.05 * jnp.exp(-50 * ((x - 0.5) ** 2 + (y - 0.5) ** 2))
+        return jnp.stack([0.5 + b, b, 1.0 + b, jnp.full_like(x, 2.6)])
+
+    u0 = ic.set_initial_condition(basis, mesh, pert)
+    dt = 50.0 * float(compute_dt(cell_averages(basis, u0), mesh, 1, 1.0))
+
+    good = jax.jit(make_implicit_step(rhs, max_newton=1, lin_tol=1e-8,
+                                      gmres_restart=60, gmres_maxiter=40,
+                                      precondition="block_jacobi"))
+    _, info = good(u0, 0.0, dt)
+    assert float(info.lin_res) <= 1.5e-8, float(info.lin_res)
+
+    bad = jax.jit(make_implicit_step(rhs, max_newton=1, lin_tol=1e-8,
+                                     gmres_restart=3, gmres_maxiter=1))
+    _, info = bad(u0, 0.0, dt)
+    assert float(info.lin_res) > 1e-8, float(info.lin_res)
+
+
+def test_jacobi_lag_converges_same_steady_state():
+    """run_steady(jacobi_lag=5) — dR/du probe blocks reused across steps,
+    only the I/dt shift rebuilt — reaches the same steady state as fresh
+    per-step probes (the reference rebuilds its preconditioner every Newton
+    iteration, src/claw.cc:666-691; lagging is pure savings near steady
+    state where the iterates barely move)."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(16, 16, 0.0, 1.0, 0.0, 1.0)
+    far = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 0.5), jnp.zeros_like(x), jnp.ones_like(x),
+         jnp.full_like(x, 2.6)])
+    bcs = dict(W=BoundarySide(euler.BC_FARFIELD, far),
+               E=BoundarySide(euler.BC_FARFIELD, far),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+
+    def perturbed(x, y, t=0.0):
+        bump = 0.05 * jnp.exp(-50 * ((x - 0.5) ** 2 + (y - 0.5) ** 2))
+        return jnp.stack([0.5 + bump, bump, 1.0 + bump,
+                          jnp.full_like(x, 2.6)])
+
+    u0 = ic.set_initial_condition(basis, mesh, perturbed)
+    out = {}
+    for lag in (1, 5):
+        s = Solver(basis, mesh, bcs, flux="roe", cfl=5.0, method="implicit",
+                   max_nonlin_iter=2, linear_residual=1e-6,
+                   precondition="block_jacobi")
+        u, hist = run_steady(s, u0, cfl0=5.0, min_residual=1e-9,
+                             max_steps=200, jacobi_lag=lag)
+        assert hist[-1] < 1e-9 or hist[-1] < hist[0] * 1e-6, \
+            (lag, hist[0], hist[-1], len(hist))
+        out[lag] = np.array(s.cell_averages(u))
+    # same uniform-freestream steady state from both preconditioner cadences
+    np.testing.assert_allclose(out[5], out[1], rtol=0, atol=1e-7)
+
+
+def test_implicit_global_chunked_matches_host_loop():
+    """Implicit global stepping carries the extrapolated predictor across
+    steps IDENTICALLY in the host loop and the chunked device while_loop
+    (src/claw.cc:1104-1108 carried state)."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(16, 16, -5.0, 5.0, -5.0, 5.0)
+    bcs = PER_BCS
+    s = Solver(basis, mesh, bcs, flux="roe", cfl=2.0, method="implicit",
+               theta=0.5, max_nonlin_iter=3, linear_residual=1e-8)
+    u0 = ic.set_initial_condition(basis, mesh, ic.isentropic_vortex())
+    T = 0.2
+    u1, t1, it1 = s.run(u0, T, chunk=1)
+    u2, t2, it2 = s.run(u0, T, chunk=16)
+    assert it1 == it2
+    assert abs(t1 - t2) < 1e-13
+    np.testing.assert_allclose(np.array(u1), np.array(u2),
+                               rtol=1e-12, atol=1e-13)

@@ -209,6 +209,53 @@ def test_mood_dmp_deviation_validated_side_by_side():
     assert int(sc.n_reduce) == 0 and not bool(jnp.any(mc))
 
 
+def test_mood_stage_deg_in_api():
+    """mood_stage(u, t, dt, deg_in) starts the cascade AT deg_in and returns
+    the settled map as a 4th output.  deg_in = full(p) reproduces the plain
+    cascade exactly; a pre-reduced map yields a candidate consistent with
+    that truncation.  (The Solver-level warm-start knob built on this API
+    was removed: starting stages at the previous settled map was MEASURED
+    slower and more dissipative on DMR-class problems -- it re-triggers the
+    mark -> spread -> reduce chain every stage, see PERF.md negative
+    results.  The deg_in entry point itself is kept for external cascade
+    policies.)"""
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(32, 4, 0.0, 1.0, 0.0, 0.125)
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.zeros_like(x), jnp.zeros_like(x), jnp.ones_like(x),
+         jnp.full_like(x, 2.5)])
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_SLIP))
+    rhs = make_rhs(basis, mesh, bcs, flux="lxf")
+    mood = make_mood(basis, mesh, rhs)
+
+    def sod(x, y, t=0.0):
+        rho = jnp.where(x <= 0.5, 1.0, 0.125)
+        E = jnp.where(x <= 0.5, 2.5, 0.25)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, E])
+
+    u0 = ic.set_initial_condition(basis, mesh, sod)
+    dt = 1e-3
+    u_ref, m_ref, s_ref = mood(u0, 0.0, dt)
+    degp = jnp.full(u0.shape[-2:], basis.degree, jnp.int32)
+    u_w, m_w, s_w, deg = mood(u0, 0.0, dt, degp)
+    # full-degree seed == the plain cascade, and the settled map is
+    # consistent with the reported reduction count
+    np.testing.assert_array_equal(np.array(u_w), np.array(u_ref))
+    np.testing.assert_array_equal(np.array(m_w), np.array(m_ref))
+    assert int(s_w.n_reduce) == int(jnp.sum(basis.degree - deg))
+    assert int(s_w.iters) == int(s_ref.iters)
+    # a pre-reduced seed: the settled map never exceeds the seed, and the
+    # candidate satisfies the same DMP acceptance criteria
+    deg1 = jnp.ones(u0.shape[-2:], jnp.int32)
+    u_1, m_1, s_1, deg_1 = mood(u0, 0.0, dt, deg1)
+    assert int(jnp.max(deg_1)) <= 1
+    assert not bool(jnp.isnan(u_1).any())
+
+
 def test_mood_fused_trunc_pos_matches_xla_step():
     """Full MOOD solver step with the fused {truncation -> positivity}
     kernel (ops/pallas_kernels.make_fused_modal_pos, interpret mode here)
@@ -276,3 +323,48 @@ def test_mood_fused_trunc_pos_matches_xla_step():
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.array(uf), np.array(ux),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_mood_one_pass_candidate_matches_two_pass():
+    """rhs.mood_candidate — {Pk truncation -> positivity -> residual ->
+    forward-Euler} in ONE fused kernel pass — equals the two-pass
+    composition {make_fused_modal_pos; fused stage} for a mixed degree map
+    on a shocked state (interpret mode; both paths share every operator, so
+    agreement is to f64 roundoff)."""
+    from dflo_tpu.ops.pallas_kernels import make_fused_modal_pos
+
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(48, 8, 0.0, 1.0, 0.0, 0.25)
+    bcs = dict(W=BoundarySide(euler.BC_OUTFLOW),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP), N=BoundarySide(euler.BC_SLIP))
+    rhs = make_rhs(basis, mesh, bcs, flux="hllc", volume_kernel="fused")
+    assert hasattr(rhs, "mood_candidate")
+
+    def sod(x, y, t=0.0):
+        rho = jnp.where(x <= 0.5, 1.0, 0.125)
+        E = jnp.where(x <= 0.5, 2.5, 0.25)
+        z = jnp.zeros_like(x)
+        return jnp.stack([z, z, rho, E])
+
+    u0 = ic.set_initial_condition(basis, mesh, sod)
+    # mixed per-cell degrees: a banded 2/1 pattern so truncation actually
+    # changes the traced state and its halo strips
+    yy, xx = np.meshgrid(np.arange(mesh.ny), np.arange(mesh.nx),
+                         indexing="ij")
+    deg = jnp.asarray(1 + (xx + yy) % 2, jnp.int32)
+    dt = 1e-3
+
+    one = rhs.mood_candidate(u0, 0.0, dt, deg)
+    ftp = make_fused_modal_pos(basis, u0.dtype, with_trunc=True)
+    u_t = ftp(u0, deg)
+    two = rhs.stage(u_t, u_t, 0.0, 0.0, dt)
+    np.testing.assert_allclose(np.array(one), np.array(two),
+                               rtol=1e-12, atol=1e-13)
+
+    # full-degree map: the candidate must reduce to the plain stage on u0
+    degp = jnp.full((mesh.ny, mesh.nx), basis.degree, jnp.int32)
+    full = rhs.mood_candidate(u0, 0.0, dt, degp)
+    plain = rhs.stage(u0, u0, 0.0, 0.0, dt)
+    np.testing.assert_allclose(np.array(full), np.array(plain),
+                               rtol=1e-12, atol=1e-13)
