@@ -260,10 +260,22 @@ def _modal_tp_slabs(slabs, dg, *, mode_deg, avg0, P_np, dtype):
 def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
                   collocated=True, Q=None, ny_true=None, nx_true=None,
                   source=None, wb_iso=False, inv_dx=None, inv_dy=None,
-                  modal_tp=False):
+                  modal_tp=False, sparse_nij=None):
     from dflo_tpu.physics.fluxes import get_flux
     num_flux = get_flux(flux_name, kernel_safe=True)
     refs = list(refs)
+    if sparse_nij is not None:
+        # SPARSE tile grid (the MOOD re-update set, src/claw.cc:806-852):
+        # a 1-D grid over a compact list of affected tiles; the tile
+        # coordinates arrive as scalar-prefetch refs and replace
+        # program_id, so every BlockSpec/body index below is dynamic.
+        # The second-to-last ref is the aliased previous-candidate buffer
+        # (untouched tiles keep their accepted values) — never read.
+        ps = pl.program_id(0)
+        iy_ref, ix_ref = refs[0], refs[1]
+        del refs[0:2]
+        del refs[-2]
+        i_dyn, j_dyn = iy_ref[ps], ix_ref[ps]
     if masked:
         # solid-cell mask tiles (self + 4 halo neighbors), fluid = 1;
         # fluid-solid interfaces get slip-wall mirror operands and solid
@@ -300,10 +312,14 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
     else:
         (u_ref, up_ref, dn_ref, lf_ref, rt_ref,
          dfw_ref, dfe_ref, dfs_ref, dfn_ref, out_ref) = refs
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    n_i = pl.num_programs(0)
-    n_j = pl.num_programs(1)
+    if sparse_nij is not None:
+        i, j = i_dyn, j_dyn
+        n_i, n_j = sparse_nij
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        n_i = pl.num_programs(0)
+        n_j = pl.num_programs(1)
     # operators as baked trace-time constants (sparse-unrolled VPU FMAs,
     # see _cmm); faceV rows are the UNWEIGHTED traces, `lift` carries the
     # mass-solved scaled volume+face lift with face signs folded
@@ -358,10 +374,29 @@ def _fused_kernel(*refs, ops, K, nq, flux_name, per_x, per_y, blend, masked,
 
     # up strip: its NORTH face (the neighbor's last row); dn strip: SOUTH
     # face (first row); lf/rt strips: the single adjacent column's E/W face
-    dgu = dup_ref[0] if modal_tp else None
-    dgd = ddn_ref[0] if modal_tp else None
-    up_uN_last, up_ub_last = row_trace(up_ref, 3, dgu)     # [c,nq,1,tx]
-    dn_uS_first, dn_ub_first = row_trace(dn_ref, 2, dgd)
+    if sparse_nij is not None:
+        # sparse tile grid: up/dn arrive as FULL neighbor tiles of u (and
+        # deg) — the dense path's row-gathered side arrays would cost a
+        # whole-state XLA transpose per cascade pass; reading one row of a
+        # dynamically-indexed full tile costs only the extra DMA bytes
+        def row_trace_full(tile_ref, side, row0, dg_full):
+            sl = slice(row0, row0 + 1)
+            slabs = [tile_ref[:, kk, sl, :] for kk in range(K)]  # [c,1,tx]
+            if dg_full is not None:
+                slabs = _modal_tp_slabs(slabs, dg_full[sl, :], **tp_kw)
+            face = jnp.stack(_cmm(faceV[side], slabs), axis=1)
+            ab = _cmm(avg_row, slabs)[0]
+            return face, ab
+
+        up_uN_last, up_ub_last = row_trace_full(
+            up_ref, 3, ty - 1, dup_ref if modal_tp else None)
+        dn_uS_first, dn_ub_first = row_trace_full(
+            dn_ref, 2, 0, ddn_ref if modal_tp else None)
+    else:
+        dgu = dup_ref[0] if modal_tp else None
+        dgd = ddn_ref[0] if modal_tp else None
+        up_uN_last, up_ub_last = row_trace(up_ref, 3, dgu)  # [c,nq,1,tx]
+        dn_uS_first, dn_ub_first = row_trace(dn_ref, 2, dgd)
     lf_uE, lf_ub = col_trace(lf_ref, 1, last=True,
                              dg_ref=dlf_ref[:] if modal_tp else None)
     rt_uW, rt_ub = col_trace(rt_ref, 0, last=False,
@@ -898,6 +933,119 @@ def make_fused_residual(basis, mesh, flux_name: str, per_x: bool,
             return jnp.stack(slabs, axis=1)
 
         fused_residual.tp_line = tp_line
+
+    if modal_tp and pad_y == 0 and mask is None:
+        # ---- sparse MOOD re-update (src/claw.cc:806-852) ----------------
+        # Cascade passes after the first only change the candidate at
+        # cells whose degree changed plus their face neighbors; this entry
+        # recomputes EXACTLY the affected tiles: a 1-D pallas grid over a
+        # compact (iy, ix) tile list delivered by scalar prefetch, every
+        # BlockSpec index dynamic, with the previous candidate aliased to
+        # the output so untouched tiles keep their accepted values.  The
+        # tile is fixed at 8 x 128 (one sublane x lane tile) for sparsity
+        # granularity, independent of the dense call's TY/TX.
+        @functools.partial(jax.jit, static_argnames=("interpret",))
+        def _sparse(u, u_prev, deg, iy, ix, cnt, dfw, dfe, dfs, dfn, dt_tp,
+                    interpret=False):
+            c, k, ny, nx = u.shape
+            TYs, TXs = 8, 128
+            if ny % TYs or nx % TXs:
+                raise ValueError("sparse MOOD candidate needs ny % 8 == 0 "
+                                 "and nx % 128 == 0")
+            ni, nj = ny // TYs, nx // TXs
+            dfw_r = jnp.moveaxis(dfw, -1, 0)        # [ny, 4, nq]
+            dfe_r = jnp.moveaxis(dfe, -1, 0)
+            V = pltpu.VMEM
+            spec_u = pl.BlockSpec((c, k, TYs, TXs),
+                                  lambda p, iy, ix: (0, 0, iy[p], ix[p]),
+                                  memory_space=V)
+            # up/dn halos as FULL dynamically-indexed neighbor tiles of u
+            # and deg (the dense path's row-gathered side arrays would cost
+            # a whole-state transpose per cascade pass)
+            in_specs = [
+                spec_u,
+                pl.BlockSpec((c, k, TYs, TXs),
+                             lambda p, iy, ix: (0, 0, (iy[p] - 1) % ni,
+                                                ix[p]), memory_space=V),
+                pl.BlockSpec((c, k, TYs, TXs),
+                             lambda p, iy, ix: (0, 0, (iy[p] + 1) % ni,
+                                                ix[p]), memory_space=V),
+                pl.BlockSpec((c, k, TYs, TXs),
+                             lambda p, iy, ix: (0, 0, iy[p],
+                                                (ix[p] - 1) % nj),
+                             memory_space=V),
+                pl.BlockSpec((c, k, TYs, TXs),
+                             lambda p, iy, ix: (0, 0, iy[p],
+                                                (ix[p] + 1) % nj),
+                             memory_space=V),
+                pl.BlockSpec((TYs, 4, nq),
+                             lambda p, iy, ix: (iy[p], 0, 0),
+                             memory_space=V),
+                pl.BlockSpec((TYs, 4, nq),
+                             lambda p, iy, ix: (iy[p], 0, 0),
+                             memory_space=V),
+                pl.BlockSpec((4, nq, TXs),
+                             lambda p, iy, ix: (0, 0, ix[p]),
+                             memory_space=V),
+                pl.BlockSpec((4, nq, TXs),
+                             lambda p, iy, ix: (0, 0, ix[p]),
+                             memory_space=V),
+                pl.BlockSpec((TYs, TXs),
+                             lambda p, iy, ix: (iy[p], ix[p]),
+                             memory_space=V),
+                pl.BlockSpec((TYs, TXs),
+                             lambda p, iy, ix: ((iy[p] - 1) % ni, ix[p]),
+                             memory_space=V),
+                pl.BlockSpec((TYs, TXs),
+                             lambda p, iy, ix: ((iy[p] + 1) % ni, ix[p]),
+                             memory_space=V),
+                pl.BlockSpec((TYs, TXs),
+                             lambda p, iy, ix: (iy[p], (ix[p] - 1) % nj),
+                             memory_space=V),
+                pl.BlockSpec((TYs, TXs),
+                             lambda p, iy, ix: (iy[p], (ix[p] + 1) % nj),
+                             memory_space=V),
+                pl.BlockSpec((1,), lambda p, iy, ix: (0,),
+                             memory_space=pltpu.SMEM),
+                spec_u,                         # aliased previous candidate
+            ]
+            args = [u, u, u, u, u,
+                    dfw_r, dfe_r, dfs, dfn,
+                    deg, deg, deg, deg, deg,
+                    jnp.reshape(jnp.asarray(dt_tp, u.dtype), (1,)),
+                    u_prev]
+            # DYNAMIC grid: exactly cnt programs run — the (iy, ix) arrays
+            # are fixed-capacity (one slot per tile, overflow impossible),
+            # but dead slots past cnt are never executed, so the pass costs
+            # what the affected set costs, not the capacity
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=(jnp.asarray(cnt, jnp.int32),),
+                in_specs=in_specs, out_specs=spec_u)
+            return pl.pallas_call(
+                functools.partial(
+                    _fused_kernel, ops=ops, K=K, nq=nq,
+                    flux_name=flux_name, per_x=per_x, per_y=per_y,
+                    blend=False, masked=False, collocated=collocated, Q=Q,
+                    source=None, wb_iso=False, modal_tp=True,
+                    sparse_nij=(ni, nj),
+                    inv_dx=1.0 / mesh.dx, inv_dy=1.0 / mesh.dy,
+                    ny_true=ny, nx_true=nx),
+                out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+                grid_spec=grid_spec,
+                # alias indices count the scalar-prefetch args
+                input_output_aliases={2 + len(args) - 1: 0},
+                interpret=interpret,
+            )(jnp.asarray(iy, jnp.int32), jnp.asarray(ix, jnp.int32), *args)
+
+        def sparse_candidate(u, u_prev, deg, iy, ix, cnt, dfw, dfe, dfs,
+                             dfn, dt):
+            """Recompute the one-pass MOOD candidate u_t + dt*R(u_t) on the
+            first cnt of the listed (iy, ix) 8x128 tiles only; all other
+            cells of the returned array keep u_prev's values."""
+            return _sparse(u, u_prev, deg, iy, ix, cnt, dfw, dfe, dfs, dfn,
+                           dt, interpret=_interpret())
+
+        fused_residual.sparse = sparse_candidate
     return fused_residual
 
 

@@ -609,6 +609,22 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
                                  t=jnp.asarray(t, u.dtype))
 
             rhs_fused.mood_candidate = mood_candidate
+
+            if hasattr(fused_res, "sparse"):
+                def sparse_candidate(u: Array, u_prev: Array, deg, t, dt,
+                                     iy, ix, cnt) -> Array:
+                    """Sparse MOOD re-update (src/claw.cc:806-852): the
+                    one-pass candidate recomputed ONLY on the first cnt of
+                    the listed 8x128 tiles (dynamic pallas grid);
+                    everywhere else the returned array keeps u_prev's
+                    accepted values.  Boundary delta strips are
+                    O(boundary) XLA on the CURRENT degree map, so edge
+                    tiles in the list see the right BC fluxes."""
+                    dfw, dfe, dfs, dfn = _strips(u, t, deg)
+                    return fused_res.sparse(u, u_prev, deg, iy, ix, cnt,
+                                            dfw, dfe, dfs, dfn, dt)
+
+                rhs_fused.sparse_candidate = sparse_candidate
         return rhs_fused
 
     def rhs(u: Array, t) -> Array:

@@ -92,7 +92,7 @@ class MoodStats(NamedTuple):
 def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
               per_y: bool = False, mask=None, dtype=None, max_iters: int = 20,
               positivity=None, dmp_bounds: str = "neighborhood",
-              fused_trunc_pos=None):
+              fused_trunc_pos=None, sparse_mode: str = "auto"):
     """Build mood_stage(u_pre, t, dt) -> (u_candidate, limiter_marked,
     MoodStats).
 
@@ -190,6 +190,20 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
         raise ValueError(f"unknown dmp_bounds {dmp_bounds!r}")
 
     use_fused = fused_trunc_pos is not None and positivity is not None
+    # Sparse re-update (src/claw.cc:806-852): cascade passes after the
+    # first only change the candidate at cells whose degree changed plus
+    # their face neighbors, so when the rhs exposes a sparse tile kernel
+    # (solver/spatial sparse_candidate on the fused Pk path), later passes
+    # recompute ONLY the affected 8x128 tiles — the TPU analog of the
+    # reference's re_update cell list.  The pallas grid is DYNAMIC (exactly
+    # as many programs as affected tiles), so there is no capacity/overflow
+    # tradeoff and no runtime dense fallback.
+    sparse_fn = getattr(rhs, "sparse_candidate", None)
+    use_sparse = (sparse_mode != "off"
+                  and use_fused and sparse_fn is not None and mask is None
+                  and mesh.ny % 8 == 0 and mesh.nx % 128 == 0)
+    if use_sparse:
+        ni_t, nj_t = mesh.ny // 8, mesh.nx // 128
     # Candidate form: {trunc -> pos} pass (fused kernel on TPU) followed by
     # a plain XLA axpy on the rhs output.  Two "obvious" fusions were built
     # and MEASURED SLOWER on v5e (see PERF.md negative results): the
@@ -251,16 +265,32 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
 
             deg_new = deg - (red_self | red_nb).astype(deg.dtype)
             lim_new = lim | mark_self | mark_nb
-            changed = jnp.any(red_self | red_nb)
-            return (deg_new, lim_new, u_c, it + 1, changed)
+            # the per-cell change MASK rides the carry (not just its any())
+            # so the sparse pass knows WHICH cells' candidates to redo
+            chg = red_self | red_nb
+            return (deg_new, lim_new, u_c, it + 1, chg)
 
         def body(carry):
-            deg, lim, _, it, _ = carry
-            return check_update(deg, lim, candidate(deg), it)
+            deg, lim, u_c, it, chg = carry
+            if use_sparse:
+                # candidate values change only where deg changed or a face
+                # neighbor's deg changed
+                aff = chg | dilate4(chg)
+                tiles = aff.reshape(ni_t, 8, nj_t, 128).any(axis=(1, 3))
+                cnt = jnp.sum(tiles)
+                ty_, tx_ = jnp.nonzero(tiles, size=ni_t * nj_t,
+                                       fill_value=0)
+                u_new = sparse_fn(u_pre, u_c, deg, t, dt,
+                                  ty_.astype(jnp.int32),
+                                  tx_.astype(jnp.int32),
+                                  cnt.astype(jnp.int32))
+            else:
+                u_new = candidate(deg)
+            return check_update(deg, lim, u_new, it)
 
         def cond(carry):
-            _, _, _, it, changed = carry
-            return changed & (it < max_iters)
+            _, _, _, it, chg = carry
+            return jnp.any(chg) & (it < max_iters)
 
         # ---- pass 1, peeled out of the loop ---------------------------
         # With deg_in None the entry degrees are p everywhere: truncation

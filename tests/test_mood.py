@@ -368,3 +368,70 @@ def test_mood_one_pass_candidate_matches_two_pass():
     plain = rhs.stage(u0, u0, 0.0, 0.0, dt)
     np.testing.assert_allclose(np.array(full), np.array(plain),
                                rtol=1e-12, atol=1e-13)
+
+
+def test_mood_sparse_reupdate_matches_dense_cascade():
+    """Sparse MOOD re-update (stab/mood.py use_sparse + the scalar-prefetch
+    tile kernel pallas_kernels.fused_residual.sparse): cascade passes after
+    the first recompute ONLY tiles containing cells whose degree changed
+    (plus face neighbors), the TPU analog of the reference's re_update cell
+    list (src/claw.cc:806-852).  On a Mach-10 front forcing a multi-pass
+    cascade, the sparse cascade must settle to the same degree map, marks,
+    and candidate state as the dense one (roundoff: the retained tiles are
+    bitwise, recomputed tiles differ only by kernel-vs-kernel FMA order)."""
+    basis = make_basis("Pk", 2)
+    # tile-aligned for the 8x128 sparse granularity
+    mesh = CartesianMesh(256, 16, 0.0, 4.0, 0.0, 0.25)
+    inflow = lambda x, y, t: jnp.stack(  # noqa: E731
+        [jnp.full_like(x, 8.0 * 7.14471), jnp.full_like(x, -8.0 * 4.125),
+         jnp.full_like(x, 8.0),
+         jnp.full_like(x, 116.5 / 0.4 + 0.5 * 8.0
+                       * (7.14471 ** 2 + 4.125 ** 2))])
+    bcs = dict(W=BoundarySide(euler.BC_INFLOW, inflow),
+               E=BoundarySide(euler.BC_OUTFLOW),
+               S=BoundarySide(euler.BC_SLIP),
+               N=BoundarySide(euler.BC_FARFIELD, inflow))
+    rhs = make_rhs(basis, mesh, bcs, flux="hllc", volume_kernel="fused")
+    assert hasattr(rhs, "sparse_candidate")
+    from dflo_tpu.ops.pallas_kernels import make_fused_modal_pos
+    from dflo_tpu.stab.positivity import make_positivity_limiter
+    pos = make_positivity_limiter(basis, mesh, jnp.float64)
+    ftp = make_fused_modal_pos(basis, jnp.float64, with_trunc=True)
+
+    def dmr(x, y, t=0.0):
+        post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))
+        rho = jnp.where(post, 8.0, 1.4)
+        vx = jnp.where(post, 7.14471, 0.0)
+        vy = jnp.where(post, -4.125, 0.0)
+        p = jnp.where(post, 116.5, 1.0)
+        return jnp.stack([rho * vx, rho * vy, rho,
+                          p / 0.4 + 0.5 * rho * (vx ** 2 + vy ** 2)])
+
+    u0 = ic.set_initial_condition(basis, mesh, dmr)
+    u0 = pos(u0, cell_averages(basis, u0))
+    dt = 2e-4
+
+    mood_sparse = make_mood(basis, mesh, rhs, positivity=pos,
+                            fused_trunc_pos=ftp)
+
+    class _HideSparse:
+        """Callable rhs without the sparse attr -> dense cascade."""
+
+        def __init__(self, f):
+            self.f = f
+
+        def __call__(self, *a, **k):
+            return self.f(*a, **k)
+
+    mood_dense = make_mood(basis, mesh, _HideSparse(rhs), positivity=pos,
+                           fused_trunc_pos=ftp)
+
+    us, ms, ss = mood_sparse(u0, 0.0, dt)
+    ud, md, sd = mood_dense(u0, 0.0, dt)
+    assert int(ss.iters) >= 2, "state did not force a multi-pass cascade"
+    assert int(ss.iters) == int(sd.iters)
+    assert int(ss.n_reduce) == int(sd.n_reduce) and int(ss.n_reduce) > 0
+    assert int(ss.n_marked) == int(sd.n_marked)
+    np.testing.assert_array_equal(np.array(ms), np.array(md))
+    np.testing.assert_allclose(np.array(us), np.array(ud),
+                               rtol=0, atol=1e-10)
