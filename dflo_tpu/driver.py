@@ -140,6 +140,7 @@ class Solver:
         # selected, so explicit volume_kernel='fused' configurations also
         # get the fused diag and the carry-lam chunked loop
         self._fused_diag = None
+        self._fused_modal_pos_diag = None
         if (on_tpu and device_mesh is None and not self.curvilinear
                 and fused_shape_ok(mesh.ny, mesh.nx)):
             # fused dt/negativity diagnostics (any basis; mask-aware)
@@ -289,7 +290,18 @@ class Solver:
                                     in_specs=(su,), out_specs=su,
                                     check_vma=False)
                 self._fused_modal_pos = fmp
+                if device_mesh is None and mask is None and mesh.ny % 8 == 0:
+                    # last-stage variant that also emits the CFL wave speed
+                    # and negativity min from its in-kernel (mean-preserving)
+                    # averages — the next step's dt and the fatal-negativity
+                    # flag then cost no extra whole-state pass (the MOOD
+                    # analog of the RK path's carry-λ fused post diag)
+                    self._fused_modal_pos_diag = make_fused_modal_pos(
+                        basis, dtype, with_trunc=False, with_diag=True,
+                        mesh=mesh)
             self._fused_modal_pos = getattr(self, "_fused_modal_pos", None)
+            self._fused_modal_pos_diag = getattr(
+                self, "_fused_modal_pos_diag", None)
             self._mood_stage = make_mood(basis, mesh, self.rhs, per_x, per_y,
                                          mask=mask, dtype=dtype,
                                          positivity=self._positivity,
@@ -384,7 +396,9 @@ class Solver:
         from dflo_tpu.stab.mood import MoodStats
         u_old = u
         stats = None
-        for a, c in zip(self.ark, self.stage_times):
+        diag = None
+        n_st = len(self.ark)
+        for si, (a, c) in enumerate(zip(self.ark, self.stage_times)):
             u_cand, marked, st = self._mood_stage(u, t + c * dt, dt)
             stats = st if stats is None else MoodStats(
                 stats.n_reduce + st.n_reduce, stats.n_marked + st.n_marked,
@@ -395,11 +409,14 @@ class Solver:
             if self._limit is not None:
                 shock = jnp.where(marked, 1e20, 0.0)
                 u = self._limit(u, ubar, shock)
-            if self._fused_modal_pos is not None:
+            if (si == n_st - 1 and self._fused_modal_pos_diag is not None):
+                u, lam, minq = self._fused_modal_pos_diag(u)
+                diag = (lam, minq)
+            elif self._fused_modal_pos is not None:
                 u = self._fused_modal_pos(u)
             elif self._positivity is not None:
                 u = self._positivity(u, ubar)
-        return u, stats
+        return u, stats, diag
 
     def _make_step(self, carry_lam: bool = False):
         """carry_lam=True builds the chunked-loop variant
@@ -408,8 +425,11 @@ class Solver:
         whole-state diag pass — valid because the post chain preserves cell
         means, so the final stage's in-kernel lam equals lam(u_next)."""
         use_post_diag = self._post_diag and self.method == "rk"
+        mood_diag = (self.method == "mood"
+                     and self._fused_modal_pos_diag is not None)
         if carry_lam:
-            assert (use_post_diag and self.fixed_time_step is None
+            assert ((use_post_diag or mood_diag)
+                    and self.fixed_time_step is None
                     and self.time_step_type == "global"
                     and not self.curvilinear)
         carry_pred = self._carry_pred
@@ -453,7 +473,7 @@ class Solver:
             stats = ()
             diag_out = None
             if self.method == "mood":
-                u, stats = self._mood_rk_step(u, t, dt)
+                u, stats, diag_out = self._mood_rk_step(u, t, dt)
             elif self.method == "implicit":
                 u, stats = self._implicit_step(
                     u, t, dt if dt_field is None else dt_field,
@@ -499,7 +519,9 @@ class Solver:
         accumulated in Kahan compensated form so long f32 runs on TPU don't
         drift.  Returns (u, t, n_done, bad, last_stats)."""
         if chunk not in self._multi_cache:
-            carry_lam = (self._post_diag and self.method == "rk"
+            carry_lam = ((self._post_diag and self.method == "rk"
+                          or self.method == "mood"
+                          and self._fused_modal_pos_diag is not None)
                          and self._fused_diag is not None
                          and self.fixed_time_step is None
                          and self.time_step_type == "global"

@@ -1794,7 +1794,8 @@ def make_fused_diag_sharded(basis, mesh, device_mesh, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
+def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True,
+                         with_diag: bool = False, mesh=None):
     """Build fused(u[, deg]) -> u_limited for a modal (Pk) basis.
 
     with_trunc=True: zero every mode of total degree > deg[cell] first
@@ -1807,6 +1808,9 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
 
     if basis.family != "Pk":
         raise ValueError("fused modal positivity needs a modal (Pk) basis")
+    if with_diag and mesh is None:
+        raise ValueError("with_diag needs the mesh (for the CFL h)")
+    h = mesh.diameter_h if with_diag else None
     K = basis.K
     avg_full = basis.wq2 @ basis.V
     assert np.abs(avg_full[1:]).max() < 1e-13, "mode 0 must carry the mean"
@@ -1815,9 +1819,14 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
     P_np = np.asarray(basis.eval_at(_pos_points(basis.degree)), np.float64)
 
     def kernel(*refs):
-        if with_trunc:
+        if with_trunc and with_diag:
+            u_ref, deg_ref, out_ref, lam_ref, minq_ref = refs
+            dg = deg_ref[:]
+        elif with_trunc:
             u_ref, deg_ref, out_ref = refs
             dg = deg_ref[:]                             # [ty, tx] int32
+        elif with_diag:
+            u_ref, out_ref, lam_ref, minq_ref = refs
         else:
             u_ref, out_ref = refs
         W = u_ref[:]                                    # [4, K, ty, tx]
@@ -1885,6 +1894,24 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
         out0 = W[:, 0] * theta2 + ub * (1.0 - theta2)   # [4, ty, tx]
         out_ref[:] = jnp.concatenate(
             [out0[:, None], W[:, 1:] * theta2[:, None]], axis=1)
+        if with_diag:
+            # CFL wave speed + negativity min over the (mean-preserving)
+            # limited state: truncation keeps mode 0 and Zhang-Shu scales
+            # about the average, so `ub` IS the final cell mean — the same
+            # quantities make_fused_diag would reduce in a second whole-
+            # state pass (src_mpi/claw.cc:579, src/positivity.cc:26-39)
+            f32 = W.dtype
+            rho_a = ub[euler.RHO]
+            p_a = (euler.GAMMA - 1.0) * (
+                ub[euler.ENE]
+                - 0.5 * (ub[euler.MX] ** 2 + ub[euler.MY] ** 2) / rho_a)
+            cs = jnp.sqrt(euler.GAMMA * jnp.abs(p_a) / jnp.abs(rho_a))
+            vxa = jnp.abs(ub[euler.MX] / rho_a)
+            vya = jnp.abs(ub[euler.MY] / rho_a)
+            lam = (cs + vxa) / h + (cs + vya) / h
+            lam_ref[:] = jnp.full((8, 128), jnp.max(lam), f32)
+            minq_ref[:] = jnp.full(
+                (8, 128), jnp.minimum(jnp.min(rho_a), jnp.min(p_a)), f32)
 
     @functools.partial(jax.jit, static_argnames=("interpret",))
     def call(u, deg=None, interpret=False):
@@ -1915,6 +1942,23 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True):
             in_specs.append(pl.BlockSpec((TY, TX), lambda i, j: (i, j),
                                          memory_space=pltpu.VMEM))
             args.append(deg)
+        if with_diag:
+            if pad_y:
+                # benign pad rows would enter the tile reductions
+                raise ValueError("with_diag requires ny % 8 == 0")
+            spec_s = pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM)
+            out, lam, minq = pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct(u.shape, u.dtype),
+                           jax.ShapeDtypeStruct((ni * 8, nj * 128), u.dtype),
+                           jax.ShapeDtypeStruct((ni * 8, nj * 128), u.dtype)],
+                grid=(ni, nj),
+                in_specs=in_specs,
+                out_specs=[spec_u, spec_s, spec_s],
+                interpret=interpret,
+            )(*args)
+            return out, jnp.max(lam), jnp.min(minq)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
