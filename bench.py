@@ -76,6 +76,24 @@ def main():
     solver, u0 = ge._build(nx, ny)
     rate = measure(solver, u0, 50 if on_tpu else 10)
 
+    # third metric: sparse tile-pool AMR on the same DMR shock, coarse grid
+    # + 2 levels so the fine-equivalent resolution IS the bench grid — the
+    # uniform comparator is the RK rate above (same solver, same grid).
+    # amr_effective_rate = fine-equivalent DoF-updates/s of the AMR loop
+    # (scripts/amr_bench.py measures the full active/effective breakdown).
+    amr_rate = None
+    try:
+        import sys as _sys
+        _sys.path.insert(0, "scripts")
+        from amr_bench import build_amr, measure_amr
+        L = 2 if on_tpu else 1
+        s_amr, pools = build_amr(nx // 2**L, ny // 2**L, max_level=L)
+        fine_dofs = 4 * s_amr.K * nx * ny
+        sec_amr = measure_amr(s_amr, pools, 20 if on_tpu else 3)
+        amr_rate = fine_dofs / sec_amr
+    except Exception as e:       # the headline metrics must still report
+        print(f"# amr metric skipped: {type(e).__name__}: {e}")
+
     baseline = 1.0e7  # 10x the ~1e6 DoF-updates/s single-socket CPU estimate
     print(json.dumps({
         "metric": "dmr_q2_pk_mood_dof_updates_per_sec",
@@ -83,7 +101,10 @@ def main():
         "unit": "DoF-updates/s",
         "vs_baseline": rate_mood / baseline,
         "extra": {"dmr_q2_rk_tvb_dof_updates_per_sec": rate,
-                  "rk_vs_baseline": rate / baseline},
+                  "rk_vs_baseline": rate / baseline,
+                  "amr_dmr_q2_effective_dof_updates_per_sec": amr_rate,
+                  "amr_vs_uniform_wallclock": (
+                      None if amr_rate is None else amr_rate / rate)},
     }))
 
 

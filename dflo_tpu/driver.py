@@ -116,9 +116,10 @@ class Solver:
                                and basis.is_nodal_collocated))
                       and mass_matrix == "diagonal"
                       and basis.degree >= 1
-                      # the implicit path differentiates rhs with jax.jvp;
-                      # pallas_call has no JVP rule
-                      and method in ("rk", "mood")
+                      # implicit rides the fused kernel through a
+                      # custom_jvp pairing (fused primal, XLA tangent —
+                      # pallas_call itself has no JVP rule), built below
+                      and method in ("rk", "mood", "implicit")
                       and tiles_ok)
             post_ok = (vol_ok
                        and cfg0.type == "TVB"
@@ -175,6 +176,20 @@ class Solver:
                                 mass_matrix=mass_matrix,
                                 volume_kernel=volume_kernel,
                                 device_mesh=device_mesh)
+            if method == "implicit" and volume_kernel == "fused":
+                # Newton-Krylov on the production kernel: fused primal
+                # residuals, XLA-linearized tangents (jax.custom_jvp
+                # pairing — see solver/implicit.fused_primal_rhs)
+                from dflo_tpu.solver.implicit import fused_primal_rhs
+                rhs_xla = make_rhs(basis, mesh, bcs, flux=flux,
+                                   source=source, mask=mask, dtype=dtype,
+                                   well_balanced=well_balanced,
+                                   potential=potential,
+                                   polytropic_nu=polytropic_nu,
+                                   mass_matrix=mass_matrix,
+                                   volume_kernel="xla",
+                                   device_mesh=device_mesh)
+                self.rhs = fused_primal_rhs(self.rhs, rhs_xla)
         self.avg_op = jnp.asarray(basis.wq2 @ basis.V, dtype)
         _avg_np = basis.wq2 @ basis.V
         self._mode0_mean = (basis.family == "Pk"
@@ -302,6 +317,22 @@ class Solver:
             self._fused_modal_pos = getattr(self, "_fused_modal_pos", None)
             self._fused_modal_pos_diag = getattr(
                 self, "_fused_modal_pos_diag", None)
+            # fused Pk per-stage post: {averages -> modal TVB on marked ->
+            # positivity [-> diag]} as ONE VMEM pass (r5; the XLA chain it
+            # replaces measured 0.69 ms/stage at the bench shapes)
+            if (ftp is not None and device_mesh is None and mask is None
+                    and mesh.ny % 8 == 0
+                    and cfg.type == "TVB"
+                    and not cfg.conserve_angular_momentum):
+                from dflo_tpu.ops.pallas_kernels import make_fused_pk_post
+                self._fused_pk_post = make_fused_pk_post(
+                    basis, mesh, M=cfg.M, beta=cfg.beta,
+                    char_lim=cfg.char_lim, per_x=per_x, per_y=per_y,
+                    dtype=dtype)
+                self._fused_pk_post_diag = make_fused_pk_post(
+                    basis, mesh, M=cfg.M, beta=cfg.beta,
+                    char_lim=cfg.char_lim, per_x=per_x, per_y=per_y,
+                    dtype=dtype, with_diag=True)
             self._mood_stage = make_mood(basis, mesh, self.rhs, per_x, per_y,
                                          mask=mask, dtype=dtype,
                                          positivity=self._positivity,
@@ -325,6 +356,11 @@ class Solver:
         # (src/claw.cc:1101-1103)
         self._carry_pred = (method == "implicit"
                             and time_step_type == "global")
+        self._fused_modal_pos = getattr(self, "_fused_modal_pos", None)
+        self._fused_modal_pos_diag = getattr(self, "_fused_modal_pos_diag",
+                                             None)
+        self._fused_pk_post = getattr(self, "_fused_pk_post", None)
+        self._fused_pk_post_diag = getattr(self, "_fused_pk_post_diag", None)
         self._step = jax.jit(self._make_step())
         self._multi_cache = {}
         self.last_stats = None       # device-side MoodStats/NewtonInfo of
@@ -405,6 +441,17 @@ class Solver:
                 stats.iters + st.iters)
             u = a * u_old + (1.0 - a) * u_cand
             u = self.apply_mask(u)
+            if self._fused_pk_post is not None:
+                # one VMEM pass: {averages -> TVB-on-marked -> positivity
+                # [-> diag]} (make_fused_pk_post); replaces the XLA mode-0
+                # slice + modal TVB + standalone modal-pos chain below
+                shock = jnp.where(marked, 2.0, 0.0).astype(u.dtype)
+                if si == n_st - 1 and self._fused_pk_post_diag is not None:
+                    u, lam, minq = self._fused_pk_post_diag(u, shock)
+                    diag = (lam, minq)
+                else:
+                    u = self._fused_pk_post(u, shock)
+                continue
             ubar = self.cell_averages(u)
             if self._limit is not None:
                 shock = jnp.where(marked, 1e20, 0.0)

@@ -203,10 +203,18 @@ def _modal_tp_slabs(slabs, dg, *, mode_deg, avg0, P_np, dtype):
     one-pass MOOD candidate) with no in-kernel transposes.  Numerically
     identical to stab/mood truncation (src/mood.cc:174-191) + stab/positivity
     (src/positivity.cc:16-208) with dtype-aware floors."""
-    from dflo_tpu.stab.positivity import EPS, REL_F32
     K = len(slabs)
     slabs = [jnp.where(dg >= mode_deg[kk], slabs[kk], 0.0)
              if mode_deg[kk] > 0 else slabs[kk] for kk in range(K)]
+    return _modal_pos_slabs(slabs, avg0=avg0, P_np=P_np, dtype=dtype)
+
+
+def _modal_pos_slabs(slabs, *, avg0, P_np, dtype):
+    """Zhang-Shu positivity on modal slab lists (the pos half of
+    _modal_tp_slabs, callable on its own by kernels that already hold a
+    truncation-free state — e.g. the fused Pk per-stage post)."""
+    from dflo_tpu.stab.positivity import EPS, REL_F32
+    K = len(slabs)
     ub = avg0 * slabs[0]                            # [4, *sp]
     if dtype != jnp.float64:
         eps_r = jnp.maximum(EPS, REL_F32 * ub[euler.RHO])
@@ -1972,3 +1980,229 @@ def make_fused_modal_pos(basis, dtype=jnp.float32, with_trunc: bool = True,
     if with_trunc:
         return lambda u, deg: call(u, deg, interpret=_interpret())
     return lambda u: call(u, interpret=_interpret())
+
+
+# ---------------------------------------------------------------------------
+# Fused Pk (MOOD) per-stage post chain: {cell averages -> modal TVB limiter
+# on MOOD-marked cells -> Zhang-Shu positivity [-> CFL/negativity diag]} in
+# ONE VMEM pass over the blended stage state.  Replaces the XLA sequence in
+# driver._mood_rk_step (mode-0 averages + stab/limiter modal TVB + the
+# standalone fused modal-pos kernel), whose glue measured 0.69 ms/stage at
+# the bench shapes (scripts/mood_profile.py, PERF.md r5) — reference passes:
+# TVB src/limiter.cc:376-516 (Pk modal), positivity src/positivity.cc:16-208,
+# per-stage chain src/claw.cc:854-870.
+# ---------------------------------------------------------------------------
+
+
+def make_fused_pk_post(basis, mesh, *, M: float = 0.0, beta: float = 1.0,
+                       char_lim: bool = False, per_x: bool = False,
+                       per_y: bool = False, dtype=jnp.float32,
+                       with_diag: bool = False):
+    """Build post(u, shock) -> u_limited [, lam_max, minq] for a modal Pk
+    basis on a Cartesian mesh (unmasked, ny % 8 == 0).
+
+    shock: [ny, nx] float plane; cells with shock > 1 get the modal TVB
+    limiter (the MOOD cascade's limiter_marked cells, src/mood.cc:335-340,
+    encoded as 1e20/0 exactly like the XLA chain).  Neighbor cell averages
+    arrive through the same strip-halo scheme as make_fused_post: one
+    row of the row-gathered tile-edge arrays + one column of the neighbor's
+    128-lane edge block."""
+    from dflo_tpu.physics import euler as _euler
+    from dflo_tpu.stab.positivity import _pos_points
+
+    if basis.family != "Pk":
+        raise ValueError("fused Pk post needs a modal (Pk) basis")
+    if mesh.ny % 8 != 0:
+        raise ValueError("fused Pk post needs ny % 8 == 0")
+    p = basis.degree
+    if p < 1:
+        raise ValueError("fused Pk post needs degree >= 1")
+    K = basis.K
+    h = mesh.diameter_h
+    Mdx2 = M * h * h
+    beta_eff = 0.5 * beta            # src/limiter.cc:395 (Pk form)
+    sqrt3 = float(np.sqrt(3.0))
+    ix_x, ix_y = 1, p + 1            # (1,0)/(0,1) modes (src/limiter.cc:414)
+    avg_full = basis.wq2 @ basis.V
+    assert np.abs(avg_full[1:]).max() < 1e-13, "mode 0 must carry the mean"
+    avg0 = float(avg_full[0])
+    P_np = np.asarray(basis.eval_at(_pos_points(p)), np.float64)
+    tp_kw = dict(avg0=avg0, P_np=P_np, dtype=dtype)
+
+    def kernel(u_ref, up_ref, dn_ref, lf_ref, rt_ref, mk_ref, *rest):
+        if with_diag:
+            out_ref, lam_ref, minq_ref = rest
+        else:
+            (out_ref,) = rest
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        n_i = pl.num_programs(0)
+        n_j = pl.num_programs(1)
+        W = u_ref[:]                                 # [4, K, ty, tx]
+        c, k, ty, tx = W.shape
+        f32 = W.dtype
+
+        ub = avg0 * W[:, 0]                          # [4, ty, tx]
+        # neighbor averages from the mode-0 slab of each halo strip
+        up_avg = avg0 * up_ref[0, :, :, 0, :]        # [c, 1, tx] (N nbr row)
+        dn_avg = avg0 * dn_ref[0, :, :, 0, :]        # [c, 1, tx] (S nbr row)
+        sx = lf_ref.shape[-1]
+        lf_avg = avg0 * lf_ref[:, 0, :, sx - 1:sx]   # [c, ty, 1] (W nbr col)
+        rt_avg = avg0 * rt_ref[:, 0, :, 0:1]         # [c, ty, 1] (E nbr col)
+
+        def _edge_iota(ndim, axis_len, axis_from_end):
+            shape = [1] * ndim
+            shape[ndim - axis_from_end] = axis_len
+            return jax.lax.broadcasted_iota(jnp.int32, tuple(shape),
+                                            ndim - axis_from_end)
+
+        def patch_dn(a, patch):      # value from row above (r-1)
+            return jnp.where(_edge_iota(a.ndim, ty, 2) == 0, patch,
+                             jnp.roll(a, 1, axis=-2))
+
+        def patch_up(a, patch):      # value from row below (r+1)
+            return jnp.where(_edge_iota(a.ndim, ty, 2) == ty - 1, patch,
+                             jnp.roll(a, -1, axis=-2))
+
+        def sh_rt(a, halo_col):      # value from column left (c-1)
+            return jnp.where(_edge_iota(a.ndim, tx, 1) == 0, halo_col,
+                             jnp.roll(a, 1, axis=-1))
+
+        def sh_lf(a, halo_col):      # value from column right (c+1)
+            return jnp.where(_edge_iota(a.ndim, tx, 1) == tx - 1, halo_col,
+                             jnp.roll(a, -1, axis=-1))
+
+        ub_W = sh_rt(ub, lf_avg)
+        ub_E = sh_lf(ub, rt_avg)
+        ub_S = patch_dn(ub, up_avg)
+        ub_N = patch_up(ub, dn_avg)
+
+        one = jnp.ones((1, ty, tx), f32)
+        row2 = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tx), 2)
+        vW = one if per_x else jnp.where((j == 0) & (col2 == 0), 0.0, one)
+        vE = one if per_x else \
+            jnp.where((j == n_j - 1) & (col2 == tx - 1), 0.0, one)
+        vS = one if per_y else jnp.where((i == 0) & (row2 == 0), 0.0, one)
+        vN = one if per_y else \
+            jnp.where((i == n_i - 1) & (row2 == ty - 1), 0.0, one)
+
+        # ---- modal TVB limiter (src/limiter.cc:376-516) ----------------
+        Dx = sqrt3 * W[:, ix_x]
+        Dy = sqrt3 * W[:, ix_y]
+        dbx = jnp.where(vW > 0, ub - ub_W, Dx)
+        dfx = jnp.where(vE > 0, ub_E - ub, Dx)
+        dby = jnp.where(vS > 0, ub - ub_S, Dy)
+        dfy = jnp.where(vN > 0, ub_N - ub, Dy)
+
+        if char_lim:
+            Rx, Lx, Ry, Ly = _euler.eigen_matrices(ub)
+            cDx = _euler.to_characteristic(Lx, Dx)
+            cDy = _euler.to_characteristic(Ly, Dy)
+            cdbx = _euler.to_characteristic(Lx, dbx)
+            cdfx = _euler.to_characteristic(Lx, dfx)
+            cdby = _euler.to_characteristic(Ly, dby)
+            cdfy = _euler.to_characteristic(Ly, dfy)
+        else:
+            cDx, cDy = Dx, Dy
+            cdbx, cdfx, cdby, cdfy = dbx, dfx, dby, dfy
+
+        def minmod(a, b, c_):
+            samesign = (a * b > 0) & (b * c_ > 0)
+            m = jnp.sign(a) * jnp.minimum(jnp.abs(a),
+                                          jnp.minimum(jnp.abs(b),
+                                                      jnp.abs(c_)))
+            return jnp.where(jnp.abs(a) < Mdx2, a,
+                             jnp.where(samesign, m, 0.0))
+
+        Dxn = minmod(cDx, beta_eff * cdbx, beta_eff * cdfx)
+        Dyn = minmod(cDy, beta_eff * cdby, beta_eff * cdfy)
+        change = (jnp.mean(jnp.abs(Dxn - cDx), axis=0)
+                  + jnp.mean(jnp.abs(Dyn - cDy), axis=0))
+        if char_lim:
+            Dxn = _euler.to_conserved(Rx, Dxn)
+            Dyn = _euler.to_conserved(Ry, Dyn)
+
+        active = (mk_ref[:] > 1.0) & (change > 1.0e-10)   # [ty, tx]
+        # modal linear rebuild: keep [mean, x-slope, y-slope], zero the rest
+        zero = jnp.zeros_like(ub)
+        lim_slabs = [ub / avg0 if kk == 0
+                     else Dxn / sqrt3 if kk == ix_x
+                     else Dyn / sqrt3 if kk == ix_y
+                     else zero for kk in range(K)]
+        slabs = [jnp.where(active[None], lim_slabs[kk], W[:, kk])
+                 for kk in range(K)]
+
+        # ---- Zhang-Shu positivity (mean-preserving) --------------------
+        slabs = _modal_pos_slabs(slabs, **tp_kw)
+        out_ref[:] = jnp.stack(slabs, axis=1)
+
+        if with_diag:
+            # chain preserves cell means -> ub is the final average; same
+            # epilogue as make_fused_modal_pos(with_diag=True)
+            rho_d = ub[euler.RHO]
+            pre_d = (euler.GAMMA - 1.0) * (
+                ub[euler.ENE]
+                - 0.5 * (ub[euler.MX] ** 2 + ub[euler.MY] ** 2) / rho_d)
+            cs = jnp.sqrt(euler.GAMMA * jnp.abs(pre_d) / jnp.abs(rho_d))
+            vxa = jnp.abs(ub[euler.MX] / rho_d)
+            vya = jnp.abs(ub[euler.MY] / rho_d)
+            lam = (cs + vxa) / h + (cs + vya) / h
+            lam_ref[:] = jnp.full((8, 128), jnp.max(lam), f32)
+            minq_ref[:] = jnp.full((8, 128),
+                                   jnp.minimum(jnp.min(rho_d),
+                                               jnp.min(pre_d)), f32)
+
+    @functools.partial(jax.jit, static_argnames=("interpret",))
+    def call(u, shock, interpret=False):
+        c, k, ny, nx = u.shape
+        TY = _pick_ty(ny)
+        TX = _pick_tx(nx)
+        ni, nj = ny // TY, nx // TX
+        spec_u = pl.BlockSpec((c, k, TY, TX), lambda i, j: (0, 0, i, j),
+                              memory_space=pltpu.VMEM)
+        SX = _strip_sx(TX)
+        r = TX // SX
+        u5 = u.reshape(c, k, ni, TY, nx)
+        rows_first = jnp.transpose(u5[:, :, :, 0, :], (2, 0, 1, 3))[:, :, None]
+        rows_last = jnp.transpose(u5[:, :, :, TY - 1, :],
+                                  (2, 0, 1, 3))[:, :, None]
+        spec_up = pl.BlockSpec((1, c, 1, k, TX),
+                               lambda i, j: ((i - 1) % ni, 0, 0, 0, j),
+                               memory_space=pltpu.VMEM)
+        spec_dn = pl.BlockSpec((1, c, 1, k, TX),
+                               lambda i, j: ((i + 1) % ni, 0, 0, 0, j),
+                               memory_space=pltpu.VMEM)
+        spec_lf = pl.BlockSpec((c, k, TY, SX),
+                               lambda i, j: (0, 0, i,
+                                             ((j - 1) % nj) * r + r - 1),
+                               memory_space=pltpu.VMEM)
+        spec_rt = pl.BlockSpec((c, k, TY, SX),
+                               lambda i, j: (0, 0, i, ((j + 1) % nj) * r),
+                               memory_space=pltpu.VMEM)
+        spec_mk = pl.BlockSpec((TY, TX), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)
+        in_specs = [spec_u, spec_up, spec_dn, spec_lf, spec_rt, spec_mk]
+        args = [u, rows_last, rows_first, u, u, shock]
+        out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+        out_specs = spec_u
+        if with_diag:
+            dshape = jax.ShapeDtypeStruct((ni * 8, nj * 128), u.dtype)
+            dspec = pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM)
+            out_shape = [out_shape, dshape, dshape]
+            out_specs = [out_specs, dspec, dspec]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(ni, nj),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(*args)
+        if with_diag:
+            u1, lam, minq = out
+            return u1, jnp.max(lam), jnp.min(minq)
+        return out
+
+    return lambda u, shock: call(u, shock, interpret=_interpret())

@@ -147,8 +147,16 @@ def device_mesh_1d(devices=None) -> Mesh:
 
 
 def flat_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding of u[4, K, N]: the cell axis split, the rest replicated."""
-    return NamedSharding(mesh, P(None, None, "cells"))
+    """Sharding of u[4, K, N]: the cell axis split, the rest replicated.
+
+    Works on ANY device mesh: a 1-D ('cells',) mesh splits N directly; a
+    2-D ('dy', 'dx') (or 3-D multi-slice) mesh splits N over the folded
+    product of all axes — the two-axis decomposition of the flat-cell
+    path.  Pair with UnstructuredQuadMesh.morton_order() so the equal
+    splits are geometrically compact (the p4est Morton-partition analog,
+    src_mpi/claw.cc:59-76); GSPMD then lowers the face-gather tables to
+    neighbor-local collectives instead of all-to-all."""
+    return NamedSharding(mesh, P(None, None, tuple(mesh.axis_names)))
 
 
 def shard_state_flat(u, mesh: Mesh):

@@ -104,6 +104,19 @@ def main():
     nx0, ny0, L = (288, 72, 2) if on_tpu else (96, 24, 1)
     n_steps = 20 if on_tpu else 3
 
+    # tile-granularity decision (VERDICT r4 item 8): T=1 refines per CELL
+    # (the reference's granularity, src/refine.cc:48-60), T=2 per 2x2 tile.
+    # T=1 tracks the shock band tighter (fewer active DoFs) but quadruples
+    # the pool-table entries; the measured rates decide the default.
+    tile_rows = {}
+    for tile in (1, 2):
+        s_t, pools_t = build_amr(nx0, ny0, max_level=L, tile=tile)
+        a_dofs = 4 * s_t.K * s_t.n_active_cells()
+        sec_t = measure_amr(s_t, pools_t, n_steps)
+        tile_rows[tile] = (a_dofs, sec_t)
+        print(f"tile={tile}: active {s_t.n_active_cells()} cells, "
+              f"{sec_t * 1e3:.2f} ms/step")
+
     s, pools = build_amr(nx0, ny0, max_level=L)
     K = s.K
     active_dofs = 4 * K * s.n_active_cells()
@@ -145,6 +158,10 @@ def main():
         "amr_effective_rate": amr_effective,
         "uniform_rate": uniform_rate,
         "speedup_vs_uniform": sec_uni / sec_amr,
+        "tile1_active_dofs": tile_rows[1][0],
+        "tile1_ms_per_step": tile_rows[1][1] * 1e3,
+        "tile2_active_dofs": tile_rows[2][0],
+        "tile2_ms_per_step": tile_rows[2][1] * 1e3,
     }))
 
 

@@ -106,25 +106,38 @@ def main():
     avg0 = float((solver.basis.wq2 @ solver.basis.V)[0])
     lim0 = jnp.zeros(u0.shape[-2:], bool)
 
-    def checks(u):
-        rho0 = avg0 * u[2, 0]
-        dmp_min = mood_mod.neighborhood_min(rho0, valid)
-        dmp_max = mood_mod.neighborhood_max(rho0, valid)
-        rho = avg0 * u[2, 0]
-        ok = (rho - dmp_min > -1e-6) & (rho - dmp_max < 1e-6)
-        for ix in (2, 2 * p + 1):
-            D2 = u[2, ix]
-            mn = mood_mod.neighborhood_min(D2, valid)
-            mx = mood_mod.neighborhood_max(D2, valid)
-            amn, amx = jnp.abs(mn), jnp.abs(mx)
-            flat = jnp.maximum(amn, amx) < 1e-12
-            ok = ok & (flat | ((mn * mx >= 0) & (amn >= amx * 0.5)))
-        fail = ~ok
-        spread = fail & lim0
-        nb = mood_mod.dilate4(spread)
-        return u + 1e-30 * (fail | nb).astype(u.dtype)[None, None]
+    def make_checks(window: bool):
+        if window:   # the production (non-periodic, unmasked) forms
+            mn_f = lambda a: mood_mod.plus_min(a)            # noqa: E731
+            mx_f = lambda a: mood_mod.plus_max(a)            # noqa: E731
+            dil = mood_mod.dilate4_window
+        else:
+            mn_f = lambda a: mood_mod.neighborhood_min(a, valid)  # noqa: E731
+            mx_f = lambda a: mood_mod.neighborhood_max(a, valid)  # noqa: E731
+            dil = mood_mod.dilate4
 
-    print(f"checks         {bench_loop(checks, u0):8.3f} ms")
+        def checks(u):
+            rho0 = avg0 * u[2, 0]
+            dmp_min = mn_f(rho0)
+            dmp_max = mx_f(rho0)
+            rho = avg0 * u[2, 0]
+            ok = (rho - dmp_min > -1e-6) & (rho - dmp_max < 1e-6)
+            for ix in (2, 2 * p + 1):
+                D2 = u[2, ix]
+                mn = mn_f(D2)
+                mx = mx_f(D2)
+                amn, amx = jnp.abs(mn), jnp.abs(mx)
+                flat = jnp.maximum(amn, amx) < 1e-12
+                ok = ok & (flat | ((mn * mx >= 0) & (amn >= amx * 0.5)))
+            fail = ~ok
+            spread = fail & lim0
+            nb = dil(spread)
+            return u + 1e-30 * (fail | nb).astype(u.dtype)[None, None]
+
+        return checks
+
+    print(f"checks(window) {bench_loop(make_checks(True), u0):8.3f} ms")
+    print(f"checks(roll)   {bench_loop(make_checks(False), u0):8.3f} ms")
 
     marked = jnp.zeros(u0.shape[-2:], bool)
 

@@ -14,7 +14,10 @@ Checks, all in production f32 on DMR-scale states:
 Tolerances are f32 reassociation-scale, relative to each field's magnitude.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +117,33 @@ def main():
     ref = make_positivity_limiter(basis_p, mesh, up.dtype)(u_t, ub)
     got = make_fused_modal_pos(basis_p, up.dtype, with_trunc=True)(up, deg)
     check("modal trunc+pos", rel(got, ref), 2e-6)
+
+    print("4b. fused Pk post chain vs XLA {modal TVB -> modal pos}")
+    from dflo_tpu.ops.pallas_kernels import make_fused_pk_post
+    marked = jnp.asarray(rng.random((ny, nx)) < 0.3)
+    lim_pk = make_tvb_limiter(basis_p, mesh, M=0.0, beta=2.0, char_lim=True,
+                              dtype=up.dtype)
+    avg0 = float((basis_p.wq2 @ basis_p.V)[0])
+    ref_pk = make_fused_modal_pos(basis_p, up.dtype, with_trunc=False)(
+        lim_pk(up, avg0 * up[:, 0], jnp.where(marked, 1e20, 0.0)))
+    pkp = make_fused_pk_post(basis_p, mesh, M=0.0, beta=2.0, char_lim=True,
+                             dtype=up.dtype)
+    shock_f = jnp.where(marked, 2.0, 0.0).astype(up.dtype)
+    check("pk post chain", rel(pkp(up, shock_f), ref_pk), 2e-6)
+    pkp_d = make_fused_pk_post(basis_p, mesh, M=0.0, beta=2.0, char_lim=True,
+                               dtype=up.dtype, with_diag=True)
+    got_pk, lam_pk, minq_pk = pkp_d(up, shock_f)
+    check("pk post diag state", rel(got_pk, ref_pk), 2e-6)
+    ub_pk = avg0 * ref_pk[:, 0]
+    cs_pk = jnp.sqrt(euler.GAMMA * euler.pressure(ub_pk) / ub_pk[euler.RHO])
+    vx_pk = jnp.abs(ub_pk[euler.MX] / ub_pk[euler.RHO])
+    vy_pk = jnp.abs(ub_pk[euler.MY] / ub_pk[euler.RHO])
+    lam_pk_ref = jnp.max((cs_pk + vx_pk) / mesh.diameter_h
+                         + (cs_pk + vy_pk) / mesh.diameter_h)
+    minq_pk_ref = jnp.minimum(ub_pk[euler.RHO].min(),
+                              euler.pressure(ub_pk).min())
+    check("pk post diag lam", rel(lam_pk, lam_pk_ref), 1e-5)
+    check("pk post diag minq", rel(minq_pk, minq_pk_ref), 1e-5)
 
     print("5. fused diag vs XLA reductions")
     from dflo_tpu.ops.pallas_kernels import make_fused_diag

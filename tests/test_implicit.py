@@ -277,3 +277,41 @@ def test_implicit_global_chunked_matches_host_loop():
     assert abs(t1 - t2) < 1e-13
     np.testing.assert_allclose(np.array(u1), np.array(u2),
                                rtol=1e-12, atol=1e-13)
+
+
+def test_fused_primal_rhs_pairing_matches_xla():
+    """Implicit on the production kernel (VERDICT r4 item 6): with
+    volume_kernel='fused' the driver pairs the fused Pallas residual
+    (primal) with the XLA operator's linearization (tangent) through
+    jax.custom_jvp (solver/implicit.fused_primal_rhs).  In interpret mode
+    the fused kernel is numerically identical to XLA, so a full implicit
+    step must match the all-XLA solver to fusion roundoff, and the paired
+    rhs must expose working jax.linearize tangents (the GMRES operator)."""
+    basis = make_basis("Qk", 1)
+    mesh = CartesianMesh(16, 8, -5.0, 5.0, -2.5, 2.5)
+    sx = Solver(basis, mesh, PER_BCS, flux="roe", cfl=2.0,
+                method="implicit", theta=1.0, max_nonlin_iter=2,
+                linear_residual=1e-8, volume_kernel="xla")
+    sf = Solver(basis, mesh, PER_BCS, flux="roe", cfl=2.0,
+                method="implicit", theta=1.0, max_nonlin_iter=2,
+                linear_residual=1e-8, volume_kernel="fused")
+    u0 = ic.set_initial_condition(basis, mesh, ic.isentropic_vortex())
+
+    # primal parity (fused kernel vs XLA in interpret mode)
+    np.testing.assert_allclose(np.array(sf.rhs(u0, 0.0)),
+                               np.array(sx.rhs(u0, 0.0)),
+                               rtol=1e-11, atol=1e-12)
+    # tangent parity: the custom-jvp pairing must linearize (XLA side)
+    tang = jnp.sin(jnp.arange(u0.size, dtype=u0.dtype)).reshape(u0.shape)
+    _, fl = jax.linearize(lambda v: sf.rhs(v, 0.0), u0)
+    _, xl = jax.linearize(lambda v: sx.rhs(v, 0.0), u0)
+    np.testing.assert_allclose(np.array(fl(tang)), np.array(xl(tang)),
+                               rtol=1e-11, atol=1e-12)
+
+    # one full implicit step end-to-end (global stepping carries the
+    # Newton predictor: 5-tuple step signature)
+    uf, dtf, badf, stf, _pf = sf._step(u0, 0.0, 1.0, None, u0)
+    ux, dtx, badx, stx, _px = sx._step(u0, 0.0, 1.0, None, u0)
+    assert not bool(badf) and not bool(badx)
+    np.testing.assert_allclose(np.array(uf), np.array(ux),
+                               rtol=1e-10, atol=1e-11)

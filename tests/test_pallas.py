@@ -437,3 +437,111 @@ def test_fused_residual_well_balanced_isothermal():
         t += float(dt)
     drift = float(jnp.abs(u - u0).max())
     assert drift < 5e-13, drift
+
+
+def test_fused_pk_post_matches_xla_chain():
+    """The fused Pk per-stage post (make_fused_pk_post, r5) matches the XLA
+    chain it replaces in driver._mood_rk_step — mode-0 averages + modal TVB
+    on marked cells (src/limiter.cc:376-516) + modal Zhang-Shu positivity —
+    including the diag variant's (lam, minq), on a shocked state with
+    characteristic limiting and both periodicity settings."""
+    from dflo_tpu.ops.pallas_kernels import (make_fused_modal_pos,
+                                             make_fused_pk_post)
+    from dflo_tpu.stab.limiter import make_tvb_limiter
+
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(128, 16, 0.0, 4.0, 0.0, 1.0)
+    dtype = jnp.zeros(0).dtype
+
+    def dmr_ic(x, y, t=0.0):
+        post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))
+        rho = jnp.where(post, 8.0, 1.4)
+        vx = jnp.where(post, 7.14471, 0.0)
+        vy = jnp.where(post, -4.125, 0.0)
+        p = jnp.where(post, 116.5, 1.0)
+        return jnp.stack([rho * vx, rho * vy, rho,
+                          p / (euler.GAMMA - 1.0)
+                          + 0.5 * rho * (vx**2 + vy**2)])
+
+    u = ic.set_initial_condition(basis, mesh, dmr_ic)
+    rng = np.random.default_rng(3)
+    marked = jnp.asarray(rng.random((mesh.ny, mesh.nx)) < 0.3)
+
+    for per_x, per_y, char_lim in ((False, False, True),
+                                   (True, True, False)):
+        limit = make_tvb_limiter(basis, mesh, M=0.0, beta=2.0,
+                                 char_lim=char_lim, per_x=per_x, per_y=per_y,
+                                 dtype=dtype)
+        fmp = make_fused_modal_pos(basis, dtype, with_trunc=False)
+        avg0 = float((basis.wq2 @ basis.V)[0])
+        ubar = avg0 * u[:, 0]
+        shock_x = jnp.where(marked, 1e20, 0.0)
+        ref = fmp(limit(u, ubar, shock_x))
+
+        post = make_fused_pk_post(basis, mesh, M=0.0, beta=2.0,
+                                  char_lim=char_lim, per_x=per_x,
+                                  per_y=per_y, dtype=dtype)
+        shock_f = jnp.where(marked, 2.0, 0.0).astype(dtype)
+        got = post(u, shock_f)
+        np.testing.assert_allclose(np.array(got), np.array(ref),
+                                   rtol=1e-12, atol=1e-13)
+
+        post_d = make_fused_pk_post(basis, mesh, M=0.0, beta=2.0,
+                                    char_lim=char_lim, per_x=per_x,
+                                    per_y=per_y, dtype=dtype, with_diag=True)
+        got_d, lam, minq = post_d(u, shock_f)
+        np.testing.assert_allclose(np.array(got_d), np.array(ref),
+                                   rtol=1e-12, atol=1e-13)
+        # diag parity vs the standalone modal-pos diag kernel
+        fmp_d = make_fused_modal_pos(basis, dtype, with_trunc=False,
+                                     with_diag=True, mesh=mesh)
+        _, lam_ref, minq_ref = fmp_d(ref)
+        np.testing.assert_allclose(float(lam), float(lam_ref), rtol=1e-12)
+        np.testing.assert_allclose(float(minq), float(minq_ref), rtol=1e-12)
+
+
+def test_fused_modal_pos_diag_matches_composition():
+    """ADVICE r4: the with_diag=True variant of make_fused_modal_pos must
+    equal the composition {make_fused_modal_pos -> make_fused_diag} — same
+    limited state, same (lam_max, minq) scalars."""
+    from dflo_tpu.ops.pallas_kernels import (make_fused_diag,
+                                             make_fused_modal_pos)
+
+    basis = make_basis("Pk", 2)
+    mesh = CartesianMesh(128, 16, 0.0, 4.0, 0.0, 1.0)
+    dtype = jnp.zeros(0).dtype
+
+    def dmr_ic(x, y, t=0.0):
+        post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))
+        rho = jnp.where(post, 8.0, 1.4)
+        p = jnp.where(post, 116.5, 1.0)
+        return jnp.stack([rho * jnp.where(post, 7.14471, 0.0),
+                          rho * jnp.where(post, -4.125, 0.0), rho,
+                          p / (euler.GAMMA - 1.0)
+                          + 0.5 * rho * jnp.where(post, 68.3, 0.0)])
+
+    u = ic.set_initial_condition(basis, mesh, dmr_ic)
+    f_plain = make_fused_modal_pos(basis, dtype, with_trunc=False)
+    f_diag = make_fused_modal_pos(basis, dtype, with_trunc=False,
+                                  with_diag=True, mesh=mesh)
+    f_d = make_fused_diag(basis, mesh, dtype)
+
+    ref = f_plain(u)
+    got, lam, minq = f_diag(u)
+    np.testing.assert_array_equal(np.array(got), np.array(ref))
+    lam_ref, minq_ref = f_d(ref)
+    np.testing.assert_allclose(float(lam), float(lam_ref), rtol=1e-12)
+    np.testing.assert_allclose(float(minq), float(minq_ref), rtol=1e-12)
+
+    # with_trunc=True variant against its composition too
+    deg = jnp.asarray((np.arange(mesh.ny * mesh.nx).reshape(
+        mesh.ny, mesh.nx) % 3), jnp.int32).clip(1, 2)
+    f_t = make_fused_modal_pos(basis, dtype, with_trunc=True)
+    f_td = make_fused_modal_pos(basis, dtype, with_trunc=True,
+                                with_diag=True, mesh=mesh)
+    ref_t = f_t(u, deg)
+    got_t, lam_t, minq_t = f_td(u, deg)
+    np.testing.assert_array_equal(np.array(got_t), np.array(ref_t))
+    lam_tr, minq_tr = f_d(ref_t)
+    np.testing.assert_allclose(float(lam_t), float(lam_tr), rtol=1e-12)
+    np.testing.assert_allclose(float(minq_t), float(minq_tr), rtol=1e-12)
