@@ -2206,3 +2206,205 @@ def make_fused_pk_post(basis, mesh, *, M: float = 0.0, beta: float = 1.0,
         return out
 
     return lambda u, shock: call(u, shock, interpret=_interpret())
+
+
+# ---------------------------------------------------------------------------
+# Fused MOOD acceptance check: {DMP + u2 smoothness + degree-reduction /
+# limiter-mark / neighbor-spread bookkeeping} (apply_mood,
+# src/mood.cc:290-491) as ONE VMEM pass over three candidate PLANES.
+# The XLA form in stab/mood.check_update runs ~10 whole-plane window/select
+# passes per cascade iteration (~0.3 ms at bench shapes even with the
+# r5 reduce_window forms); this kernel reads 3 candidate planes + 2 bounds
+# planes + deg/lim and writes deg/lim/chg in ~9 plane transfers total.
+# ---------------------------------------------------------------------------
+
+
+def make_fused_mood_check(basis, mesh, *, per_x: bool = False,
+                          per_y: bool = False, dtype=jnp.float32):
+    """Build check(cand3, dmp_min, dmp_max, deg, lim) ->
+    (deg_new, lim_new, chg) for a modal Pk basis.
+
+    cand3: [3, ny, nx] = candidate's (rho mode-0, rho D2xx, rho D2yy)
+    coefficient planes (u_c[RHO, 0], u_c[RHO, 2], u_c[RHO, 2p+1]);
+    dmp_min/max: [ny, nx] predictor density bounds; deg int32 [ny, nx];
+    lim bool [ny, nx].  Returns int32 deg_new, bool lim_new, bool chg.
+
+    Envelope: unmasked, ny % 8 == 0, and a lane axis that can ride ONE
+    full-width block (nx % 128 == 0, or ragged-but-small so Mosaic
+    lane-pads it) — the planes are small (a [3, ty+4, nx] working set is
+    ~170 KB at bench shapes), so unlike the state kernels the full width
+    always fits VMEM.  x-neighbor access is then an in-block roll
+    (periodic wrap exactly right for per_x; edge arms killed by validity
+    iotas otherwise), and only 2-deep up/dn halo rows cross tiles (the u2
+    window feeding the spread dilation reaches 2 rows).
+    """
+    from dflo_tpu.stab.mood import DMP_EPS, U2_EPS, U2_TINY
+
+    if basis.family != "Pk" or basis.degree < 2:
+        raise ValueError("fused MOOD check needs modal Pk, degree >= 2")
+    ny, nx = mesh.ny, mesh.nx
+    if ny % 8 != 0 or not (nx % 128 == 0 or _pick_tx(nx) == nx):
+        raise ValueError("fused MOOD check needs ny % 8 == 0 and a "
+                         "full-width-blockable nx")
+    avg_full = basis.wq2 @ basis.V
+    avg0 = float(avg_full[0])
+
+    def kernel(c_ref, up_ref, dn_ref, bmin_ref, bmax_ref, deg_ref, lim_ref,
+               deg_out, lim_out, chg_out):
+        i = pl.program_id(0)
+        n_i = pl.num_programs(0)
+        C = c_ref[:]                                  # [3, ty, tx]
+        _, ty, tx = C.shape
+        up = up_ref[0]                                # [3, 2, tx] rows -2,-1
+        dn = dn_ref[0]                                # [3, 2, tx] rows +1,+2
+
+        # extended plane with 2 halo rows on each side: [3, ty+4, tx]
+        # (halo packs arrive pre-transposed so no in-kernel transpose)
+        ext = jnp.concatenate([up, C, dn], axis=1)
+
+        row_e = jax.lax.broadcasted_iota(jnp.int32, (ty + 4, 1), 0) - 2 \
+            + i * ty                                  # global row id
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tx), 1)
+        nyg = n_i * ty
+        if per_y:      # wrapped halo rows are REAL cells under periodicity
+            in_dom = jnp.ones_like(row_e, jnp.bool_)
+        else:
+            in_dom = (row_e >= 0) & (row_e <= nyg - 1)
+        vS_e = jnp.ones((ty + 4, 1), jnp.bool_) if per_y else (row_e >= 1)
+        vN_e = jnp.ones((ty + 4, 1), jnp.bool_) if per_y else \
+            (row_e <= nyg - 2)
+        vW = jnp.ones((1, tx), jnp.bool_) if per_x else (col >= 1)
+        vE = jnp.ones((1, tx), jnp.bool_) if per_x else (col <= tx - 2)
+
+        def sh_we(a, shift):
+            # lane roll: exact periodic wrap; edge arms masked by vW/vE
+            return jnp.roll(a, shift, axis=-1)
+
+        def sh_sn(a, shift):
+            # sublane shift within the extended rows (halo rows supply
+            # the out-of-tile values; the outermost 2 rows' own S/N arms
+            # are never consumed at the depths used below)
+            return jnp.roll(a, shift, axis=-2)
+
+        def plus_min_e(a, vS, vN):
+            big = jnp.asarray(jnp.inf, a.dtype)
+            m = a
+            m = jnp.minimum(m, jnp.where(vW, sh_we(a, 1), big))
+            m = jnp.minimum(m, jnp.where(vE, sh_we(a, -1), big))
+            m = jnp.minimum(m, jnp.where(vS, sh_sn(a, 1), big))
+            m = jnp.minimum(m, jnp.where(vN, sh_sn(a, -1), big))
+            return m
+
+        def plus_max_e(a, vS, vN):
+            big = jnp.asarray(-jnp.inf, a.dtype)
+            m = a
+            m = jnp.maximum(m, jnp.where(vW, sh_we(a, 1), big))
+            m = jnp.maximum(m, jnp.where(vE, sh_we(a, -1), big))
+            m = jnp.maximum(m, jnp.where(vS, sh_sn(a, 1), big))
+            m = jnp.maximum(m, jnp.where(vN, sh_sn(a, -1), big))
+            return m
+
+        # ---- u2 smoothness on the extended rows (valid rows -1..ty) ----
+        ok_e = jnp.ones((ty + 4, tx), jnp.bool_)
+        for pi in (1, 2):
+            D2 = ext[pi]
+            mn = plus_min_e(D2, vS_e, vN_e)
+            mx = plus_max_e(D2, vS_e, vN_e)
+            amn = jnp.abs(mn)
+            amx = jnp.abs(mx)
+            flat = jnp.maximum(amn, amx) < U2_TINY
+            ok_e = ok_e & (flat | ((mn * mx >= 0)
+                                   & (amn >= amx * (1.0 - U2_EPS))))
+
+        # ---- DMP on rows -1..ty (bounds tiles carry 1-row halos too) ---
+        bmin = bmin_ref[0]                            # [ty+2, tx] rows -1..ty
+        bmax = bmax_ref[0]
+        rho_e = avg0 * ext[0, 1:ty + 3]               # rows -1..ty
+        dmp = (rho_e - bmin > -DMP_EPS) & (rho_e - bmax < DMP_EPS)
+        fail_e = ~(dmp | ok_e[1:ty + 3])              # rows -1..ty
+        fail_e = fail_e & in_dom[1:ty + 3]            # halo rows off-domain
+
+        deg = deg_ref[0]                              # [ty+2, tx] rows -1..ty
+        lim = lim_ref[0] > 0.5
+        red_self_e = fail_e & (deg > 1)
+        mark_self_e = fail_e & (deg == 1) & ~lim
+        spread_e = fail_e & (deg == 1) & lim
+        # neighbor spread: plus-dilation, non-wrapping in y via row
+        # validity, lane-roll wrap in x is exact for per_x
+        # dilation in f32: Mosaic can neither roll i1 vectors nor
+        # truncate i8->i1, so the spread flag shifts as 0.0/1.0 floats
+        spf = spread_e.astype(jnp.float32)
+        vS_c = vS_e[1:ty + 3]
+        vN_c = vN_e[1:ty + 3]
+        nbf = spf
+        nbf = jnp.maximum(nbf, jnp.where(vW, sh_we(spf, 1), 0.0))
+        nbf = jnp.maximum(nbf, jnp.where(vE, sh_we(spf, -1), 0.0))
+        nbf = jnp.maximum(nbf, jnp.where(vS_c, sh_sn(spf, 1), 0.0))
+        nbf = jnp.maximum(nbf, jnp.where(vN_c, sh_sn(spf, -1), 0.0))
+        nb = nbf > 0.5
+        red_nb_e = nb & (deg > 1) & ~red_self_e
+        mark_nb_e = nb & (deg == 1) & ~lim & ~mark_self_e
+
+        deg_new = deg - (red_self_e | red_nb_e).astype(deg.dtype)
+        lim_new = lim | mark_self_e | mark_nb_e
+        chg = red_self_e | red_nb_e
+
+        # write the CENTER rows (1..ty of the (ty+2)-row working set)
+        deg_out[0] = deg_new[1:ty + 1]
+        lim_out[0] = lim_new[1:ty + 1].astype(jnp.float32)
+        chg_out[0] = chg[1:ty + 1].astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("interpret",))
+    def call(cand3, dmp_min, dmp_max, deg, lim, interpret=False):
+        TY = _pick_ty(ny)
+        ni = ny // TY
+        TX = nx
+
+        # 2-deep halo row packs, gathered once per call: rows (i*TY-2,
+        # i*TY-1) and (i*TY+TY, i*TY+TY+1) with periodic wrap (non-periodic
+        # arms are masked in-kernel)
+        c5 = cand3.reshape(3, ni, TY, nx)
+        top2 = jnp.stack([c5[:, :, 0, :], c5[:, :, 1, :]], axis=2)
+        bot2 = jnp.stack([c5[:, :, TY - 2, :], c5[:, :, TY - 1, :]], axis=2)
+        # up pack for tile i = last two rows of tile i-1; dn = first two of
+        # tile i+1 -> [ni, 3, 2, nx] (pre-transposed: no in-kernel transpose)
+        up_rows = jnp.transpose(bot2, (1, 0, 2, 3))
+        dn_rows = jnp.transpose(top2, (1, 0, 2, 3))
+        spec_up = pl.BlockSpec((1, 3, 2, TX), lambda i: ((i - 1) % ni, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        spec_dn = pl.BlockSpec((1, 3, 2, TX), lambda i: ((i + 1) % ni, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+
+        # 1-row-halo row packs for the scalar planes: [ni, TY+2, nx] built
+        # by gathering the wrap rows once
+        def with_halo1(a):
+            a3 = a.reshape(ni, TY, nx)
+            up1 = jnp.roll(a3[:, TY - 1, :], 1, axis=0)[:, None]
+            dn1 = jnp.roll(a3[:, 0, :], -1, axis=0)[:, None]
+            return jnp.concatenate([up1, a3, dn1], axis=1)  # [ni, TY+2, nx]
+
+        spec_h1 = pl.BlockSpec((1, TY + 2, TX), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        spec_c = pl.BlockSpec((3, TY, TX), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        spec_o = pl.BlockSpec((1, TY, TX), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+        deg_new, lim_new, chg = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((ni, TY, nx), deg.dtype),
+                       jax.ShapeDtypeStruct((ni, TY, nx), jnp.float32),
+                       jax.ShapeDtypeStruct((ni, TY, nx), jnp.float32)],
+            grid=(ni,),
+            in_specs=[spec_c, spec_up, spec_dn, spec_h1, spec_h1,
+                      spec_h1, spec_h1],
+            out_specs=[spec_o, spec_o, spec_o],
+            interpret=interpret,
+        )(cand3, up_rows, dn_rows, with_halo1(dmp_min), with_halo1(dmp_max),
+          with_halo1(deg), with_halo1(lim.astype(jnp.float32)))
+        return (deg_new.reshape(ny, nx),
+                lim_new.reshape(ny, nx) > 0.5,
+                chg.reshape(ny, nx) > 0.5)
+
+    return lambda cand3, dmn, dmx, deg, lim: call(
+        cand3, dmn, dmx, deg, lim, interpret=_interpret())

@@ -255,6 +255,17 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
                   and mesh.ny % 8 == 0 and mesh.nx % 128 == 0)
     if use_sparse:
         ni_t, nj_t = mesh.ny // 8, mesh.nx // 128
+    # fused acceptance check (r5): DMP + u2 + spread bookkeeping as one
+    # VMEM plane kernel instead of ~10 whole-plane XLA window/select passes
+    # per cascade iteration (make_fused_mood_check)
+    fused_check = None
+    if use_fused and mask is None and p >= 2 and mesh.ny % 8 == 0:
+        try:
+            from dflo_tpu.ops.pallas_kernels import make_fused_mood_check
+            fused_check = make_fused_mood_check(basis, mesh, per_x=per_x,
+                                                per_y=per_y, dtype=dtype)
+        except ValueError:
+            fused_check = None       # outside the kernel's shape envelope
     # Candidate form: {trunc -> pos} pass (fused kernel on TPU) followed by
     # a plain XLA axpy on the rhs output.  Two "obvious" fusions were built
     # and MEASURED SLOWER on v5e (see PERF.md negative results): the
@@ -300,6 +311,12 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
         def check_update(deg, lim, u_c, it):
             """DMP acceptance + degree-reduction/mark bookkeeping on a
             candidate (apply_mood, src/mood.cc:290-491)."""
+            if fused_check is not None:
+                cand3 = jnp.stack([u_c[euler.RHO, 0], u_c[euler.RHO, ix_xx],
+                                   u_c[euler.RHO, ix_yy]])
+                deg_new, lim_new, chg = fused_check(cand3, dmp_min, dmp_max,
+                                                    deg, lim)
+                return (deg_new, lim_new, u_c, it + 1, chg)
             rho = rho_mean(u_c)
             dmp = (rho - dmp_min > -DMP_EPS) & (rho - dmp_max < DMP_EPS)
             ok = dmp | u2_ok(u_c)

@@ -68,13 +68,19 @@ def build_amr(nx0, ny0, max_level=2, tile=2):
                N=BoundarySide(euler.BC_FARFIELD, inflow))
     lim = LimiterConfig(type="TVB", shock_indicator="density", beta=2.0,
                         char_lim=True, pos_lim=True)
-    # capacity: the shock band is an O(1)-width diagonal stripe; budget
-    # `max elements` so the finest pool can hold ~35% of the tiles
+    # capacity: the shock band is an O(1)-width diagonal stripe.  Pool
+    # stepping cost is CAPACITY-proportional (static shapes), so the budget
+    # must track the expected active set, not the tile count: 10% of the
+    # fine-equivalent cells per refined level (~1.3x the measured DMR band,
+    # 7.4% active).  The r4 script budgeted 35% of TILES at top-level size,
+    # which let every L1 slot allocate (83k cells stepped for a ring of a
+    # few hundred active) — half the measured 140 ms/step was capacity
+    # waste (PERF.md r5 AMR table).
     nty, ntx = ny0 // tile, nx0 // tile
-    m_top = tile * 2**max_level
+    fine_cells = (ny0 * 2**max_level) * (nx0 * 2**max_level)
     amr = AMRConfig(shock_value=1.0, shock_levels=max_level,
                     iter_step=10, tile=tile,
-                    max_elements=int(0.35 * nty * ntx) * m_top * m_top)
+                    max_elements=int(0.10 * fine_cells))
     s = AMRSolver(basis, mesh, bcs, flux="hllc", amr=amr, limiter=lim,
                   cfl=0.5)
     pools = s.set_ic(dmr_ic, adapt_iters=max_level + 1)

@@ -17,6 +17,11 @@ from dflo_tpu.physics import euler
 from dflo_tpu.solver.implicit import make_implicit_step, run_steady
 from dflo_tpu.solver.spatial import BoundarySide, cell_averages, make_rhs
 from dflo_tpu.solver.rk import compute_dt
+import pytest
+
+# interpret-mode/virtual-device emulation dominates CPU wall time: the
+# quick dev tier skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
 
 PER = BoundarySide(euler.BC_PERIODIC)
 PER_BCS = dict(W=PER, E=PER, S=PER, N=PER)

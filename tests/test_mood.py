@@ -17,6 +17,10 @@ from dflo_tpu.physics import euler
 from dflo_tpu.solver.spatial import BoundarySide, cell_averages, make_rhs
 from dflo_tpu.stab.mood import make_mood, neighborhood_max, neighborhood_min
 
+# interpret-mode/virtual-device emulation dominates CPU wall time: the
+# quick dev tier skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 
 def test_mood_requires_pk():
     basis = make_basis("Qk", 2)

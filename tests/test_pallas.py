@@ -9,6 +9,11 @@ from dflo_tpu.mesh import CartesianMesh
 from dflo_tpu.ops.basis import make_basis
 from dflo_tpu.physics import euler
 from dflo_tpu.solver.spatial import BoundarySide, make_rhs
+import pytest
+
+# interpret-mode/virtual-device emulation dominates CPU wall time: the
+# quick dev tier skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
 
 
 def test_pallas_volume_matches_xla():
@@ -545,3 +550,81 @@ def test_fused_modal_pos_diag_matches_composition():
     lam_tr, minq_tr = f_d(ref_t)
     np.testing.assert_allclose(float(lam_t), float(lam_tr), rtol=1e-12)
     np.testing.assert_allclose(float(minq_t), float(minq_tr), rtol=1e-12)
+
+
+def test_fused_mood_check_matches_xla_bookkeeping():
+    """make_fused_mood_check (r5) == the XLA DMP/u2/spread bookkeeping of
+    stab.mood.check_update (apply_mood, src/mood.cc:290-491) on adversarial
+    plane data, both periodic and non-periodic, over several chained
+    passes."""
+    from dflo_tpu.ops.pallas_kernels import make_fused_mood_check
+    from dflo_tpu.stab import mood as mood_mod
+    from dflo_tpu.stab.limiter import neighbor_valid
+
+    basis = make_basis("Pk", 2)
+    p = basis.degree
+    mesh = CartesianMesh(256, 16, 0.0, 4.0, 0.0, 1.0)
+    ny, nx = mesh.ny, mesh.nx
+    avg0 = float((basis.wq2 @ basis.V)[0])
+    rng = np.random.default_rng(7)
+
+    for per in (False, True):
+        valid = tuple(jnp.asarray(v) for v in
+                      neighbor_valid((ny, nx), per, per, None))
+        if per:
+            nb_min = lambda a: mood_mod.neighborhood_min(a, valid)  # noqa
+            nb_max = lambda a: mood_mod.neighborhood_max(a, valid)  # noqa
+            dil = mood_mod.dilate4
+        else:
+            nb_min, nb_max = mood_mod.plus_min, mood_mod.plus_max
+            dil = mood_mod.dilate4_window
+
+        def xla_check(cand3, dmn, dmx, deg, lim):
+            rho = avg0 * cand3[0]
+            dmp = (rho - dmn > -mood_mod.DMP_EPS) & \
+                  (rho - dmx < mood_mod.DMP_EPS)
+            ok = jnp.ones((ny, nx), bool)
+            for pi in (1, 2):
+                D2 = cand3[pi]
+                mn, mx = nb_min(D2), nb_max(D2)
+                amn, amx = jnp.abs(mn), jnp.abs(mx)
+                flat = jnp.maximum(amn, amx) < mood_mod.U2_TINY
+                ok = ok & (flat | ((mn * mx >= 0)
+                                   & (amn >= amx * (1.0 - mood_mod.U2_EPS))))
+            fail = ~(dmp | ok)
+            red_self = fail & (deg > 1)
+            mark_self = fail & (deg == 1) & ~lim
+            spread = fail & (deg == 1) & lim
+            nb = dil(spread)
+            red_nb = nb & (deg > 1) & ~red_self
+            mark_nb = nb & (deg == 1) & ~lim & ~mark_self
+            deg_new = deg - (red_self | red_nb).astype(deg.dtype)
+            lim_new = lim | mark_self | mark_nb
+            return deg_new, lim_new, red_self | red_nb
+
+        fused = make_fused_mood_check(basis, mesh, per_x=per, per_y=per,
+                                      dtype=jnp.zeros(0).dtype)
+
+        # adversarial planes: smooth base + discontinuities + exact zeros
+        # (flat-curvature guard) + sign flips near boundaries
+        x = np.linspace(0, 4, nx)[None, :] * np.ones((ny, 1))
+        y = np.linspace(0, 1, ny)[:, None] * np.ones((1, nx))
+        rho0 = 1.0 + 0.5 * np.sin(3 * x) + (x + y < 2.0) * 2.0
+        D2a = 0.02 * np.sin(9 * x * y) * (rng.random((ny, nx)) < 0.8)
+        D2b = 0.02 * np.cos(7 * (x - y)) * (rng.random((ny, nx)) < 0.8)
+        cand3 = jnp.asarray(np.stack([rho0 / avg0, D2a, D2b]))
+        rho_pl = avg0 * cand3[0]
+        dmn = nb_min(rho_pl) * (1 + 1e-7)     # tight bounds -> many fails
+        dmx = nb_max(rho_pl) * (1 - 1e-7)
+        deg = jnp.asarray(rng.integers(1, p + 1, (ny, nx)), jnp.int32)
+        lim = jnp.asarray(rng.random((ny, nx)) < 0.4)
+
+        for it in range(3):     # chain passes so spread/marks interact
+            ref = xla_check(cand3, dmn, dmx, deg, lim)
+            got = fused(cand3, dmn, dmx, deg, lim)
+            for g, r, name in zip(got, ref, ("deg", "lim", "chg")):
+                np.testing.assert_array_equal(
+                    np.array(g), np.array(r),
+                    err_msg=f"per={per} it={it} field={name}")
+            deg, lim = got[0], got[1]
+            cand3 = cand3 * (1.0 + 0.01 * it)     # perturb for next pass

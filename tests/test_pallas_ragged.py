@@ -21,6 +21,10 @@ from dflo_tpu.ops.basis import make_basis
 from dflo_tpu.physics import euler
 from dflo_tpu.solver.spatial import BoundarySide, make_rhs
 
+# interpret-mode/virtual-device emulation dominates CPU wall time: the
+# quick dev tier skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 
 def dmr_ic(x, y, t=0.0):
     post = x < (1.0 / 6.0 + y / jnp.sqrt(3.0))

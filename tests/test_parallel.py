@@ -16,6 +16,10 @@ from dflo_tpu.parallel import device_mesh, shard_state
 from dflo_tpu.physics import euler
 from dflo_tpu.solver.spatial import BoundarySide
 
+# interpret-mode/virtual-device emulation dominates CPU wall time: the
+# quick dev tier skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 
 def sod_ic(x, y, t=0.0):
     rho = jnp.where(x <= 0.5, 1.0, 0.125)
