@@ -194,7 +194,8 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None,
         fixed_dt = params.time_step if (params.cfl <= 0
                                         and params.time_step > 0) else None
         well_balanced = None
-        if params.potential is not None:
+        if (params.potential is not None and params.gravity == 0.0
+                and params.external_force is None):
             # gravity-potential runs belong to the src_gll tree: GLL
             # collocation + the well-balanced source
             basis = make_basis("Qk_gll", params.degree)
@@ -227,7 +228,13 @@ def build_solver(params: AllParameters, prm_dir: str = ".", device_mesh=None,
     source = _build_source(params)
 
     well_balanced = None
-    if params.potential is not None:
+    if (params.potential is not None and params.gravity == 0.0
+            and params.external_force is None):
+        # the potential IS the force description (src_gll tree semantics,
+        # src_gll/parameters.cc:358).  With a plain `gravity` constant (src
+        # tree semantics) the potential entry is documentation only — the
+        # reference trees never consume both, and passing both would
+        # double-apply the force (make_rhs rejects the combination).
         well_balanced = params.well_balanced
 
     if params.solver.method == "mood":
@@ -405,6 +412,15 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    try:
+        # persistent compile cache: repeated CLI runs (and the examples
+        # matrix) skip the multi-minute first-compile on the TPU tunnel
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), "..",
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     t_wall = time.time()
     from dflo_tpu.utils.profiling import Timer

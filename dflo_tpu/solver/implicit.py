@@ -350,6 +350,8 @@ def run_steady(solver, u, cfl0: float | None = None,
         return u_new, res, info.diverged, info.lin_res
 
     jr = None
+    best = float("inf")
+    best_it = 0
     for it in range(max_steps):
         if use_lag and it % jacobi_lag == 0:
             jr = probe(u)
@@ -372,6 +374,18 @@ def run_steady(solver, u, cfl0: float | None = None,
             print(f"  steady it={it:5d} res={res:.3e} cfl={cfl:.2f} "
                   f"lin_res={float(lin_res):.1e}")
         if res < min_residual:
+            break
+        if res < best * (1.0 - 1e-3):
+            best, best_it = res, it
+        elif it - best_it >= 100:
+            # stagnation exit: the residual has not improved by 0.1% in
+            # 100 PTC steps — the solve has hit its precision floor (an
+            # f32 run cannot reach the reference's double-precision 1e-10
+            # stopping rule, src/claw.cc:925-927; the f32 floor is
+            # ~1e-6 relative).  Report and stop instead of burning
+            # max_steps at the floor.
+            print(f"  steady: residual stagnant at {res:.3e} since "
+                  f"it={best_it} (precision floor); stopping at it={it}")
             break
     return u, history
 

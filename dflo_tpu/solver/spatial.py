@@ -203,6 +203,13 @@ def make_rhs(basis: basis_mod.Basis, mesh, bcs: dict[str, BoundarySide],
     if well_balanced is not None:
         if well_balanced not in ("isothermal", "polytropic"):
             raise ValueError(f"unknown well-balanced form {well_balanced!r}")
+        if source is not None:
+            # defense in depth (the fused kernel already refuses): applying
+            # a plain body force AND a potential-form source would
+            # double-count gravity — no reference tree consumes both
+            # (src/equation.h:829-850 vs src_gll/assemble_explicit.cc:30-135)
+            raise ValueError("source and well_balanced are mutually "
+                             "exclusive (the force would be applied twice)")
         if not collocated:
             raise ValueError("well-balanced gravity needs a nodal-collocated "
                              "basis (GLL, src_gll/assemble_explicit.cc:66-72)")
