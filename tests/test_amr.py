@@ -16,6 +16,10 @@ from dflo_tpu.ops.basis import make_basis
 from dflo_tpu.physics import euler
 from dflo_tpu.solver.spatial import BoundarySide, cell_averages
 
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 
 @pytest.mark.parametrize("family", ["Qk", "Pk", "Qk_gll"])
 def test_prolong_restrict_roundtrip(family):

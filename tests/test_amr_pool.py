@@ -13,6 +13,11 @@ from dflo_tpu.mesh import CartesianMesh
 from dflo_tpu.ops.basis import make_basis
 from dflo_tpu.physics import euler
 from dflo_tpu.solver.spatial import BoundarySide
+import pytest
+
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
 
 
 def _const(x, y, t=0.0):

@@ -18,6 +18,11 @@ from dflo_tpu.mesh.geo import load_geo
 from dflo_tpu.mesh.msh import load_msh, write_msh
 from dflo_tpu.ops.basis import make_basis
 from dflo_tpu.physics import euler
+import pytest
+
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
 
 REF = "/root/reference/examples"
 

@@ -14,6 +14,11 @@ from dflo_tpu.ops.basis import make_basis
 from dflo_tpu.physics import euler
 from dflo_tpu.solver.implicit import run_steady
 from dflo_tpu.solver.spatial import BoundarySide, SegmentedSide
+import pytest
+
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
 
 GEO = "/root/reference/examples/compression_corner/corner.geo"
 

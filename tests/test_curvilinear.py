@@ -19,6 +19,10 @@ from dflo_tpu.solver.spatial import BoundarySide, make_rhs
 from dflo_tpu.solver.spatial_curvi import (compute_dt_curvilinear,
                                            make_rhs_curvilinear)
 
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 PER = BoundarySide(euler.BC_PERIODIC)
 
 

@@ -20,6 +20,10 @@ from dflo_tpu.config.params import AllParameters
 from dflo_tpu.diagnostics import angular_momentum, totals
 from dflo_tpu.physics import euler
 
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 EX = "/root/repo/examples"
 REF = "/root/reference/examples"
 

@@ -13,6 +13,10 @@ from dflo_tpu.physics import euler
 from dflo_tpu.solver.implicit import run_steady, run_steady_sequenced
 from dflo_tpu.solver.spatial import BoundarySide
 
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 STRUCT = "/root/reference/examples/naca0012/naca.struct"
 
 # freestream: M = 0.63, angle of attack 2 deg, rho = 1, c = 1

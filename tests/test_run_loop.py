@@ -217,6 +217,10 @@ def test_output_time_step_cadence(tmp_path):
 
 import contextlib
 
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 
 @contextlib.contextmanager
 def _x64_off():

@@ -21,6 +21,10 @@ from dflo_tpu.physics import euler
 from dflo_tpu.solver.spatial import BoundarySide, make_rhs
 from dflo_tpu.solver.spatial_unstruct import make_rhs_unstructured
 
+# integration/e2e tier: minutes of CPU emulation; the quick dev tier
+# skips this file (pytest.ini 'heavy'); the full suite runs it
+pytestmark = pytest.mark.heavy
+
 
 def _pot(x, y, t=0.0):
     return jnp.sqrt(x * x + y * y)
@@ -407,7 +411,10 @@ def test_implicit_unstructured_matches_structured():
                              precondition="block_jacobi")
     u = ic.set_initial_condition(basis, cm, ic.isentropic_vortex())
     uf = jnp.asarray(np.array(u).reshape(4, basis.K, -1))
-    u1, _, bad1, st1 = s_s._step(u, jnp.zeros(()), jnp.full((), 1.0))
+    # structured implicit global stepping carries the Newton predictor
+    # (5-tuple step, src/claw.cc:1104-1108); the unstructured driver does not
+    u1, _, bad1, st1, _pred = s_s._step(u, jnp.zeros(()), jnp.full((), 1.0),
+                                        None, u)
     u2, _, bad2, st2 = s_u._step(uf, jnp.zeros(()), jnp.full((), 1.0))
     assert not bool(bad1) and not bool(bad2)
     assert not bool(st1.diverged) and not bool(st2.diverged)
