@@ -352,6 +352,12 @@ def run_steady(solver, u, cfl0: float | None = None,
     jr = None
     best = float("inf")
     best_it = 0
+    # stagnation window: f32 solves hit their ~1e-6 precision floor and
+    # must stop promptly; f64 PTC can sit on legitimate plateaus for
+    # hundreds of steps before the CFL ramp breaks through (the
+    # unsequenced naca fine solve does exactly that), so the window is
+    # wide there
+    stag_window = 100 if jnp.zeros((), u.dtype).dtype != jnp.float64 else 500
     for it in range(max_steps):
         if use_lag and it % jacobi_lag == 0:
             jr = probe(u)
@@ -377,7 +383,7 @@ def run_steady(solver, u, cfl0: float | None = None,
             break
         if res < best * (1.0 - 1e-3):
             best, best_it = res, it
-        elif it - best_it >= 100:
+        elif it - best_it >= stag_window:
             # stagnation exit: the residual has not improved by 0.1% in
             # 100 PTC steps — the solve has hit its precision floor (an
             # f32 run cannot reach the reference's double-precision 1e-10
