@@ -336,7 +336,8 @@ class Solver:
             self._mood_stage = make_mood(basis, mesh, self.rhs, per_x, per_y,
                                          mask=mask, dtype=dtype,
                                          positivity=self._positivity,
-                                         fused_trunc_pos=ftp)
+                                         fused_trunc_pos=ftp,
+                                         sharded=device_mesh is not None)
         elif method == "implicit":
             from dflo_tpu.solver.implicit import make_implicit_step
             # the stabilization chain runs after EVERY Newton update, where

@@ -107,6 +107,19 @@ def plus_max(a):
     return jnp.maximum(mx, my)
 
 
+def dilate4_valid(flag, valid):
+    """Validity-masked 4-neighborhood dilation: spread reaches only
+    EXISTING face neighbors (src/mood.cc:341-394) — non-wrapping at
+    domain boundaries, correctly wrapping under periodicity (where the
+    valid flags are all-true and the rolls wrap).  Roll-based, so it
+    partitions exactly under GSPMD."""
+    vW, vE, vS, vN = valid
+    out = flag
+    out = out | (vW & jnp.roll(flag, 1, -1)) | (vE & jnp.roll(flag, -1, -1))
+    out = out | (vS & jnp.roll(flag, 1, -2)) | (vN & jnp.roll(flag, -1, -2))
+    return out
+
+
 def dilate4_window(flag):
     """Non-wrapping 4-neighborhood dilation (the reference's neighbor
     spread touches actual face neighbors only, src/mood.cc:341-394; the
@@ -132,7 +145,8 @@ class MoodStats(NamedTuple):
 def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
               per_y: bool = False, mask=None, dtype=None, max_iters: int = 20,
               positivity=None, dmp_bounds: str = "neighborhood",
-              fused_trunc_pos=None, sparse_mode: str = "auto"):
+              fused_trunc_pos=None, sparse_mode: str = "auto",
+              sharded: bool = False):
     """Build mood_stage(u_pre, t, dt) -> (u_candidate, limiter_marked,
     MoodStats).
 
@@ -186,17 +200,22 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
     from dflo_tpu.stab.limiter import neighbor_valid
     valid = tuple(jnp.asarray(v) for v in
                   neighbor_valid((mesh.ny, mesh.nx), per_x, per_y, mask))
-    # plus-stencil ops: separable window reductions when their 'SAME'
-    # boundary semantics match the mesh (non-periodic, unmasked) — ~1.8x
-    # cheaper per pass than the roll+select chains on v5e; the roll forms
-    # stay for periodic/masked meshes (windows cannot wrap)
-    if not per_x and not per_y and mask is None:
-        nb_min, nb_max, dilate = (lambda a, _v=None: plus_min(a)), \
-            (lambda a, _v=None: plus_max(a)), dilate4_window
-    else:
-        nb_min = lambda a, v=valid: neighborhood_min(a, v)     # noqa: E731
-        nb_max = lambda a, v=valid: neighborhood_max(a, v)     # noqa: E731
-        dilate = dilate4
+    # Plus-stencil ops: validity-masked ROLL forms everywhere.  The
+    # neighbor min/max were always validity-masked (non-wrapping at domain
+    # boundaries); the r5 change makes the SPREAD dilation validity-masked
+    # too — the reference spreads to existing face neighbors only
+    # (src/mood.cc:341-394); the old unmasked dilate4 wrapped at domain
+    # edges.  reduce_window ('SAME') forms were built and are KEPT as
+    # utilities (plus_min/plus_max/dilate4_window, measured perf-neutral
+    # on v5e) but are NOT used here: inside the sharded jitted step the
+    # SPMD partitioner produced wrong results for the in-loop
+    # reduce_windows (measured: the sharded cascade silently stopped
+    # firing, 5 -> 0 reductions on the parallel equality test), while
+    # rolls partition exactly.  The fused check kernel (TPU single-chip)
+    # implements the same validity-masked semantics in-kernel.
+    nb_min = lambda a, v=valid: neighborhood_min(a, v)     # noqa: E731
+    nb_max = lambda a, v=valid: neighborhood_max(a, v)     # noqa: E731
+    dilate = lambda f, v=valid: dilate4_valid(f, v)        # noqa: E731
 
     # truncation masks: keep modes with total degree <= d  (src/mood.cc:174-191)
     trunc = np.zeros((p + 1, K))
@@ -259,7 +278,11 @@ def make_mood(basis: basis_mod.Basis, mesh, rhs, per_x: bool = False,
     # VMEM plane kernel instead of ~10 whole-plane XLA window/select passes
     # per cascade iteration (make_fused_mood_check)
     fused_check = None
-    if use_fused and mask is None and p >= 2 and mesh.ny % 8 == 0:
+    # sharded=True: the state arrays are GSPMD-sharded and a plain
+    # pallas_call cannot consume them — the sharded MOOD path keeps the
+    # XLA check (its window ops partition fine under GSPMD)
+    if (use_fused and not sharded and mask is None and p >= 2
+            and mesh.ny % 8 == 0):
         try:
             from dflo_tpu.ops.pallas_kernels import make_fused_mood_check
             fused_check = make_fused_mood_check(basis, mesh, per_x=per_x,

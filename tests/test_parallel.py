@@ -482,7 +482,12 @@ def test_fused_post_sharded_matches_single(shape):
     from dflo_tpu.ops.pallas_kernels import (make_fused_post,
                                              make_fused_post_sharded)
     basis = make_basis("Qk", 2)
-    mesh = CartesianMesh(256, 16, 0.0, 1.0, 0.0, 0.125)
+    # per-device blocks must be (8, 128)-tile aligned (the r4 envelope the
+    # sharded kernel enforces): 1024x16 gives lx=256/ly=8 on (2,4) and
+    # lx=128/ly=16 on (1,8)
+    # domain stretched with the cell count so dx (and the tanh-front
+    # steepness in cells) matches the original 256-cell configuration
+    mesh = CartesianMesh(1024, 16, 0.0, 4.0, 0.0, 0.125)
     u0 = ic.set_initial_condition(basis, mesh, _smooth_sod_ic)
     kw = dict(indicator="density", M=0.0, beta=2.0, char_lim=True,
               pos_lim=True, dtype=u0.dtype, with_diag=True)
@@ -516,7 +521,9 @@ def test_fused_post_sharded_periodic_and_multislice():
             1.0 + 0.8 * s)
 
     basis = make_basis("Qk", 2)
-    mesh = CartesianMesh(32, 32, -5.0, 5.0, -5.0, 5.0)
+    # tile-aligned per-device blocks: (2,4) -> 16x128, multislice 2x(2,2)
+    # -> 8x256 (the envelope the sharded kernel enforces)
+    mesh = CartesianMesh(512, 32, -5.0, 5.0, -5.0, 5.0)
     u0 = ic.set_initial_condition(basis, mesh, bumpy_vortex)
     # mark-all indicator: the TVB minmod consumes neighbor averages in
     # EVERY cell, so every seam pack is load-bearing
@@ -541,7 +548,8 @@ def test_fused_post_sharded_solver_end_to_end():
     a strict short Sod window (same dt sequence, roundoff state equality)."""
     from dflo_tpu.ops.pallas_kernels import make_fused_diag_sharded
     basis = make_basis("Qk", 2)
-    mesh = CartesianMesh(128, 16, 0.0, 1.0, 0.0, 0.125)
+    # (2,4) device mesh -> 8x128 per-device blocks (tile-aligned envelope)
+    mesh = CartesianMesh(512, 16, 0.0, 1.0, 0.0, 0.125)
     bcs = dict(W=BoundarySide(euler.BC_OUTFLOW),
                E=BoundarySide(euler.BC_OUTFLOW),
                S=BoundarySide(euler.BC_SLIP), N=BoundarySide(euler.BC_SLIP))
