@@ -79,16 +79,16 @@ def dilate4(flag):
 
 
 # ---------------------------------------------------------------------------
-# Window-reduction forms of the plus-stencil neighborhood ops.  The roll
-# forms above cost 3 whole-plane VPU ops per direction (roll + valid select
-# + min) = 12+ plane passes per reduction; a plus stencil is separable into
-# two 3-wide 1-D reduce_windows (min over {W,c,E} and {S,c,N}, then combine),
-# which XLA lowers to a fused sliding reduction.  'SAME' padding with the
-# reduction identity reproduces exactly the non-periodic neighbor_valid
-# semantics (missing neighbors contribute the identity), so these are
-# drop-in replacements when no axis is periodic and no solid mask exists —
-# the MOOD bench configuration.  Measured on v5e (scripts/mood_profile.py,
-# PERF.md r5): the per-pass DMP/u2/dilate check chain 0.545 -> ~0.31 ms.
+# Window-reduction forms of the plus-stencil neighborhood ops (UTILITIES —
+# not used by make_mood).  A plus stencil is separable into two 3-wide 1-D
+# reduce_windows whose 'SAME' identity padding reproduces the non-periodic
+# neighbor_valid semantics.  Measured on v5e: perf-NEUTRAL vs the roll
+# forms (0.572 vs 0.539 ms per check chain at bench shapes) — and inside a
+# SHARDED jitted step the SPMD partitioner produced WRONG results for the
+# in-loop reduce_windows (the cascade silently stopped firing; every
+# isolated-op probe was exact).  make_mood therefore uses the
+# validity-masked roll forms everywhere; these stay for reference and for
+# the fused-check equivalence test, with the hazard documented.
 # ---------------------------------------------------------------------------
 
 def plus_min(a):
